@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship fused point-in-time pipeline (spark_pit.operators.pit)
+queries()    — operator registry (spark_pit.queries.QUERIES)
+oracle_sql() — DuckDB oracles   (spark_pit.queries.ORACLES)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the fused single-pass PIT feature pipeline (as-of +
+    lag/lead + sessionize + backfill + trailing composition + rolling mean)
+    over sf0.001 events with purchase events as the snapshot stream."""
+    from pyspark.sql import functions as F
+
+    from spark_pit.operators.pit import pit_features_cursor
+    from spark_pit.queries import EVENT_VOCAB
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    snaps = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("snapshot_ts"),
+        F.col("event_id").alias("snapshot_id"),
+    )
+    return pit_features_cursor(
+        ev, snaps, entity="user_id", ts="ts",
+        numeric_col="value", token_col="event_type", vocab=EVENT_VOCAB,
+        gap_seconds=1800, width=5,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from spark_pit.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spark_pit.queries import ORACLES
+
+    return dict(ORACLES)

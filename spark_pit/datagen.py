@@ -1,0 +1,167 @@
+"""Deterministic synthetic image+caption timeline generator (FIXTURES.md F1/F2).
+
+Produces exactly the `input_hint` schema (BASELINE.json:15) plus the
+event-time axis:
+
+    images(image_id string, event_ts timestamp_ntz, bytes binary,
+           w int, h int, fmt string, caption string, phash long)
+
+and the as-of right side:
+
+    snapshots(image_id string, snapshot_ts timestamp_ntz,
+              snap_vec array<double>, snapshot_id long)
+
+Everything is seeded (no wall-clock, no global RNG), so golden fixtures are
+reproducible bit-for-bit. Skew realism: the first `n_hot` entities hold
+~`hot_share` of all rows (SURVEY.md §7 step 1).
+
+Generation is distributed: a tiny driver-side spec DataFrame (one row per
+entity) is exploded on executors via mapInPandas, so the 2 MB-ish `bytes`
+payloads never sit on the driver — the same shape that generates 10^12 rows
+on a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_pit.codecs import encode_image
+
+EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+FMTS = ("png", "jpeg", "bmp")
+VOCAB = (
+    "sun moon star cloud rain snow wind storm tree leaf river stone "
+    "red green blue gold silver dark light small large round sharp "
+    "cat dog bird fish fox wolf bear deer walk run jump swim climb "
+    "near far above below"
+).split()
+
+IMAGES_SCHEMA = (
+    "image_id string, event_ts timestamp_ntz, bytes binary, w int, h int, "
+    "fmt string, caption string, phash long"
+)
+SNAPSHOTS_SCHEMA = (
+    "image_id string, snapshot_ts timestamp_ntz, snap_vec array<double>, snapshot_id long"
+)
+
+
+def _entity_counts(n_entities: int, n_rows: int, n_hot: int, hot_share: float) -> np.ndarray:
+    """Deterministic per-entity row counts with `n_hot` hot keys."""
+    counts = np.full(n_entities, max(1, (n_rows - int(n_rows * hot_share)) // max(1, n_entities - n_hot)))
+    if n_hot > 0:
+        counts[:n_hot] = max(2, int(n_rows * hot_share) // n_hot)
+    return counts
+
+
+def _render_pattern(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Deterministic smooth RGB pattern (gradient + sinusoid) — compressible
+    and non-trivial so lossy-codec error is realistic."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    freq = rng.uniform(0.05, 0.4, size=3)
+    img = np.empty((h, w, 3), dtype=np.float64)
+    for c in range(3):
+        img[:, :, c] = 127.5 + 90.0 * np.sin(freq[c] * (xx + yy) + phase[c]) + 30.0 * (xx / max(w - 1, 1) - 0.5)
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def _phash64(img: np.ndarray) -> int:
+    """Deterministic 64-bit perceptual-hash-like value: 8x8 mean-pool of the
+    gray channel thresholded at its median (the classic aHash recipe)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # mean-pool onto an 8x8 grid
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.array(
+        [[gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean() for j in range(8)] for i in range(8)]
+    )
+    bits = (cells > np.median(cells)).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))  # two's complement into spark long
+
+
+def _gen_entity_rows(image_id: str, n: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    # inter-arrivals 1 s .. 2 h; with a 30 min session gap this yields multiple
+    # sessions per entity; ~5% duplicate timestamps for as-of tie testing
+    gaps = rng.integers(1, 7200, size=n).astype("int64")
+    dup = rng.random(n) < 0.05
+    gaps[dup] = 0
+    gaps[0] = rng.integers(0, 86400)
+    ts = EPOCH + np.cumsum(gaps * 1_000_000).astype("timedelta64[us]")
+
+    rows = []
+    for i in range(n):
+        w = int(rng.integers(8, 65))
+        h = int(rng.integers(8, 65))
+        fmt = FMTS[int(rng.integers(0, len(FMTS)))]
+        img = _render_pattern(rng, w, h)
+        data = encode_image(img, fmt)
+        n_tok = int(rng.integers(3, 31))
+        caption = " ".join(VOCAB[int(k)] for k in rng.integers(0, len(VOCAB), size=n_tok))
+        rows.append((image_id, ts[i], data, w, h, fmt, caption, _phash64(img)))
+    return pd.DataFrame(
+        rows, columns=["image_id", "event_ts", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+
+
+def images_table(
+    spark: SparkSession,
+    n_entities: int = 100,
+    n_rows: int = 2000,
+    n_hot: int = 3,
+    hot_share: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    counts = _entity_counts(n_entities, n_rows, n_hot, hot_share)
+    spec = pd.DataFrame(
+        {
+            "image_id": [f"img_{k:06d}" for k in range(n_entities)],
+            "n": counts,
+            "seed": [seed * 1_000_003 + k for k in range(n_entities)],
+        }
+    )
+    spec_df = spark.createDataFrame(spec)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            for image_id, n, s in batch.itertuples(index=False):
+                yield _gen_entity_rows(image_id, int(n), int(s))
+
+    # one spec row -> n payload rows, rendered executor-side
+    return spec_df.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
+        gen, schema=IMAGES_SCHEMA
+    )
+
+
+def snapshots_table(
+    spark: SparkSession,
+    n_entities: int = 100,
+    snaps_per_entity: int = 8,
+    missing_every: int = 7,
+    seed: int = 42,
+) -> DataFrame:
+    """F2: sparse per-entity snapshot stream; every `missing_every`-th entity
+    has NO snapshots (null-match behavior); some timestamps collide with
+    event timestamps only by construction of the shared EPOCH grid."""
+    rng = np.random.default_rng(seed + 777)
+    rows = []
+    sid = 0
+    for k in range(n_entities):
+        if missing_every and k % missing_every == 3:
+            continue
+        gaps = rng.integers(1800, 36000, size=snaps_per_entity).astype("int64")
+        ts = EPOCH + np.cumsum(gaps * 1_000_000).astype("timedelta64[us]")
+        for t in ts:
+            vec = np.round(rng.uniform(-1, 1, size=8), 6).tolist()
+            rows.append((f"img_{k:06d}", pd.Timestamp(t), vec, sid))
+            sid += 1
+    pdf = pd.DataFrame(rows, columns=["image_id", "snapshot_ts", "snap_vec", "snapshot_id"])
+    return spark.createDataFrame(pdf, schema=SNAPSHOTS_SCHEMA)

@@ -1,0 +1,201 @@
+"""Composition and k-spaced-pair descriptor families (SURVEY.md §2.2, §2.3)
+re-expressed on (entity, ts, token) event streams.
+
+Outputs are LONG format — one row per (entity, token[, token_b, gap]) — not
+the reference's 400/8000-wide matrices: long format shuffles less, pivots on
+demand, and is directly oracle-able in SQL. Reference parity cited per op.
+
+Plans here are pure DataFrame (lead + groupBy-count): partial aggregation
+before the shuffle, codegen throughout, no UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_pit.operators.windows import entity_window
+
+
+def token_composition(
+    df: DataFrame, entity: str, token_col: str, out: str = "freq"
+) -> DataFrame:
+    """AAC analogue (feature.py:432-454): per-entity frequency of each token
+    = count(token) / entity length."""
+    total = Window.partitionBy(entity)
+    return (
+        df.groupBy(entity, token_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(out, F.col("__n") / F.sum("__n").over(total))
+        .drop("__n")
+    )
+
+
+def lagk_pair_freq(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    gaps: list[int] = (0,),
+    tiebreak: str | None = None,
+    normalized: bool = True,
+) -> DataFrame:
+    """CKSAAP/DPC/TPC-adjacent family (feature.py:487-526 / 528-555): counts
+    of ordered token pairs (a, b) with b exactly gap+1 events after a,
+    normalized by the pair count L-(gap+1) (reference type-1 semantics,
+    feature.py:515-517). gap=0 is the DPC adjacent-bigram case.
+
+    Output: (entity, gap, tok_a, tok_b, pair_freq). Union over gaps — each
+    branch shares the same entity-window sort, so the exchange is reused.
+    """
+    w = entity_window(entity, ts, tiebreak)
+    total = Window.partitionBy(entity, "gap")
+    parts = []
+    for g in gaps:
+        k = g + 1
+        parts.append(
+            df.select(
+                F.col(entity),
+                F.lit(g).alias("gap"),
+                F.col(token_col).alias("tok_a"),
+                F.lead(token_col, k).over(w).alias("tok_b"),
+            ).where(F.col("tok_b").isNotNull())
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    out = pairs.groupBy(entity, "gap", "tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+    if normalized:
+        out = out.withColumn("pair_freq", F.col("pair_n") / F.sum("pair_n").over(total))
+    return out
+
+
+def trigram_freq(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """TPC analogue (feature.py:598-624): adjacent-trigram frequencies per
+    entity. Long output (entity, tok_a, tok_b, tok_c, tri_freq)."""
+    w = entity_window(entity, ts, tiebreak)
+    total = Window.partitionBy(entity)
+    tri = (
+        df.select(
+            F.col(entity),
+            F.col(token_col).alias("tok_a"),
+            F.lead(token_col, 1).over(w).alias("tok_b"),
+            F.lead(token_col, 2).over(w).alias("tok_c"),
+        )
+        .where(F.col("tok_b").isNotNull() & F.col("tok_c").isNotNull())
+        .groupBy(entity, "tok_a", "tok_b", "tok_c")
+        .agg(F.count(F.lit(1)).alias("tri_n"))
+    )
+    return tri.withColumn("tri_freq", F.col("tri_n") / F.sum("tri_n").over(total))
+
+
+def transition_freq(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    group_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CTDT analogue (feature.py:1871-1955): frequency of *unordered*
+    transitions between distinct group values among adjacent events,
+    normalized by (L-1). least/greatest collapses (g1,g2)/(g2,g1)."""
+    w = entity_window(entity, ts, tiebreak)
+    lagged = df.select(
+        F.col(entity),
+        F.col(group_col).alias("g1"),
+        F.lead(group_col, 1).over(w).alias("g2"),
+    ).where(F.col("g2").isNotNull())
+    total = Window.partitionBy(entity)
+    return (
+        lagged.withColumn("grp_lo", F.least("g1", "g2"))
+        .withColumn("grp_hi", F.greatest("g1", "g2"))
+        .withColumn("__adj", F.count(F.lit(1)).over(total))
+        .where(F.col("g1") != F.col("g2"))
+        .groupBy(entity, "grp_lo", "grp_hi")
+        .agg((F.count(F.lit(1)) / F.first("__adj")).alias("trans_freq"))
+    )
+
+
+def dde(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """DDE analogue (feature.py:557-596): adjacent-bigram frequency recentred
+    by its expectation under token independence and scaled by the binomial
+    std-dev:  (DPC_ab - TM_ab) / sqrt(TM_ab (1 - TM_ab) / N_pairs),
+    TM_ab = f(a) * f(b) from the entity's own marginal frequencies (our
+    analogue of the reference's fixed codon-frequency table)."""
+    pairs = lagk_pair_freq(df, entity, ts, token_col, gaps=[0], tiebreak=tiebreak)
+    comp = token_composition(df, entity, token_col, out="freq")
+    n_pairs = Window.partitionBy(entity)
+    pairs = pairs.withColumn("n_pairs", F.sum("pair_n").over(n_pairs))
+    fa = comp.select(F.col(entity), F.col(token_col).alias("tok_a"), F.col("freq").alias("fa"))
+    fb = comp.select(F.col(entity), F.col(token_col).alias("tok_b"), F.col("freq").alias("fb"))
+    return (
+        pairs.join(fa, [entity, "tok_a"])
+        .join(fb, [entity, "tok_b"])
+        .withColumn("tm", F.col("fa") * F.col("fb"))
+        .withColumn(
+            "dde",
+            (F.col("pair_freq") - F.col("tm"))
+            / F.sqrt(F.col("tm") * (1 - F.col("tm")) / F.col("n_pairs")),
+        )
+        .select(entity, "tok_a", "tok_b", "dde")
+    )
+
+
+def all_pair_counts_kernel(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    vocab: list[str],
+) -> DataFrame:
+    """ASDC analogue (feature.py:2539-2570): counts of ALL ordered pairs
+    (j < k, any distance), normalized by total pair count L*(L-1)/2.
+
+    The naive plan is an O(L^2) self-join per entity; at scale that shuffle
+    explodes, so this uses the suffix-count identity
+        count(a,b) = sum_j [x_j = a] * |{k > j : x_k = b}|
+    as a vectorized reverse-cumsum kernel inside one applyInPandas pass
+    (SURVEY.md §2.2 ASDC row). Output long: (entity, tok_a, tok_b, asdc_freq).
+    """
+    code = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="stable")
+        codes = pdf[token_col].map(code).fillna(-1).to_numpy(dtype=np.int64)
+        n = len(codes)
+        onehot = np.zeros((n, V), dtype=np.int64)
+        valid = codes >= 0
+        onehot[np.arange(n)[valid], codes[valid]] = 1
+        # suffix[j, b] = #{k > j : x_k = b}
+        suffix = onehot[::-1].cumsum(axis=0)[::-1] - onehot
+        counts = onehot.T @ suffix  # (a, b) -> sum_j [x_j=a] * suffix[j, b]
+        total = counts.sum()
+        eid = pdf[entity].iloc[0]
+        recs = [
+            (eid, vocab[a], vocab[b], counts[a, b] / total if total else 0.0)
+            for a in range(V)
+            for b in range(V)
+            if counts[a, b] > 0
+        ]
+        return pd.DataFrame(recs, columns=[entity, "tok_a", "tok_b", "asdc_freq"])
+
+    ent_type = df.schema[entity].dataType.simpleString()
+    out_schema = f"{entity} {ent_type}, tok_a string, tok_b string, asdc_freq double"
+    return df.select(entity, ts, token_col).groupBy(entity).applyInPandas(kern, out_schema)

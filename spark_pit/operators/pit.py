@@ -1,0 +1,193 @@
+"""Flagship point-in-time feature pipeline (north_rule).
+
+Fuses into ONE per-entity pass — a single shuffle for the whole feature set:
+
+- as-of match against a snapshot stream (strictly-before, zero leakage)
+- lag-1 / lead-1 of the numeric channel
+- gap-based session id + position within session
+- backfill (last non-null) of the numeric channel
+- trailing-window token composition (EAAC analogue) as array<double>
+- trailing-window rolling mean of the numeric channel
+
+Physical shape (SURVEY.md §4 partitioning row): both sides are hash-
+partitioned on the entity by ``groupBy(entity).cogroup``, each group is
+sorted once in pandas, then every kernel (kernels.py) runs vectorized on the
+same sorted arrays. On a cluster the equivalent declarative plan would pay
+one exchange per window family; the fused cursor pays exactly one, which is
+the reason this operator exists.
+
+A declarative twin (``pit_features_declarative``) builds the same columns
+from the windows/asof operator library; tests assert both paths are equal
+and the DuckDB oracle validates the declarative one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_pit import kernels
+from spark_pit.operators import windows
+from spark_pit.operators.asof import asof_join_window
+
+
+def pit_features_cursor(
+    events: DataFrame,
+    snapshots: DataFrame,
+    entity: str,
+    ts: str,
+    numeric_col: str,
+    token_col: str,
+    vocab: list[str],
+    snap_ts: str = "snapshot_ts",
+    snap_id: str = "snapshot_id",
+    gap_seconds: int = 1800,
+    width: int = 5,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Fused single-pass pipeline. Output one row per event."""
+    code = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+    ent_type = events.schema[entity].dataType.simpleString()
+    tb = [tiebreak] if tiebreak else []
+    out_schema = (
+        f"{entity} {ent_type}, {ts} timestamp_ntz, "
+        f"{numeric_col} double, {token_col} string, "
+        f"asof_snapshot_id long, asof_age_sec double, "
+        f"lag1_{numeric_col} double, lead1_{numeric_col} double, "
+        f"session_id long, session_pos long, "
+        f"{numeric_col}_bf double, roll_mean_{numeric_col} double, "
+        f"wc array<double>"
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def kern(ev: pd.DataFrame, sn: pd.DataFrame) -> pd.DataFrame:
+        if len(ev) == 0:
+            return pd.DataFrame(
+                columns=[f.strip().split(" ")[0] for f in out_schema.split(",")]
+            )
+        ev = ev.sort_values([ts, *tb], kind="stable").reset_index(drop=True)
+        ts_us = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = ev[numeric_col].to_numpy(dtype=np.float64)
+        codes = ev[token_col].map(code).fillna(-1).to_numpy(dtype=np.int64)
+        n = len(ev)
+
+        out = pd.DataFrame(
+            {
+                entity: ev[entity],
+                ts: ev[ts],
+                numeric_col: ev[numeric_col],
+                token_col: ev[token_col],
+            }
+        )
+        # --- as-of (strictly before; latest snapshot_id wins ties) ---
+        if len(sn):
+            sn = sn.sort_values([snap_ts, snap_id], kind="stable").reset_index(drop=True)
+            sts = sn[snap_ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+            idx = kernels.asof_indices(ts_us, sts, strict=True)
+            matched = idx >= 0
+            take = idx.clip(0)
+            sid = pd.Series(sn[snap_id].to_numpy(dtype=np.int64)[take], dtype="Int64")
+            sid[~matched] = pd.NA
+            age = (ts_us - sts[take]) / 1e6
+            age[~matched] = np.nan
+            out["asof_snapshot_id"] = sid
+            out["asof_age_sec"] = age
+        else:
+            out["asof_snapshot_id"] = pd.array([pd.NA] * n, dtype="Int64")
+            out["asof_age_sec"] = np.nan
+
+        # --- lag/lead ---
+        lag1 = np.roll(x, 1); lag1[0] = np.nan
+        lead1 = np.roll(x, -1); lead1[-1] = np.nan
+        out[f"lag1_{numeric_col}"] = lag1
+        out[f"lead1_{numeric_col}"] = lead1
+
+        # --- sessionization ---
+        sess = kernels.session_ids(ts_us, gap_us)
+        out["session_id"] = sess
+        # position within session: index - first index of session
+        first_idx = np.zeros(n, dtype=np.int64)
+        starts = np.flatnonzero(np.diff(sess, prepend=sess[0] - 1) > 0)
+        first_idx[starts] = starts
+        np.maximum.accumulate(first_idx, out=first_idx)
+        out["session_pos"] = np.arange(n) - first_idx
+
+        # --- backfill + rolling mean ---
+        out[f"{numeric_col}_bf"] = kernels.forward_fill(x)
+        cs = np.nancumsum(np.nan_to_num(x))
+        cnt = np.cumsum(~np.isnan(x))
+        roll_sum = cs.copy()
+        roll_cnt = cnt.astype(np.float64)
+        if n > width:
+            roll_sum[width:] -= cs[:-width]
+            roll_cnt[width:] -= cnt[:-width]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[f"roll_mean_{numeric_col}"] = np.where(
+                roll_cnt > 0, roll_sum / roll_cnt, np.nan
+            )
+
+        # --- trailing window composition (EAAC analogue) ---
+        wc = kernels.rolling_token_counts(codes, V, width)
+        out["wc"] = list(wc)
+        return out
+
+    ev = events.select(entity, ts, *tb, numeric_col, token_col)
+    sn = snapshots.select(entity, snap_ts, snap_id)
+    return ev.groupBy(entity).cogroup(sn.groupBy(entity)).applyInPandas(kern, out_schema)
+
+
+def pit_features_declarative(
+    events: DataFrame,
+    snapshots: DataFrame,
+    entity: str,
+    ts: str,
+    numeric_col: str,
+    token_col: str,
+    vocab: list[str],
+    snap_ts: str = "snapshot_ts",
+    snap_id: str = "snapshot_id",
+    gap_seconds: int = 1800,
+    width: int = 5,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Same columns as pit_features_cursor, built from the declarative
+    operator library (window functions + union-based as-of). Used as the
+    in-engine cross-check and the DuckDB-oracle side."""
+    ev = events.select(entity, ts, *([tiebreak] if tiebreak else []), numeric_col, token_col)
+    df = asof_join_window(
+        ev, snapshots, [entity], ts, snap_ts, [snap_id],
+        strict=True, prefix="asof_", right_order=snap_id,
+    )
+    def _us(c: str):
+        # TIMESTAMP_NTZ → epoch micros; session tz is UTC so NTZ↔LTZ is identity
+        return F.unix_micros(F.col(c).cast("timestamp_ltz"))
+
+    df = df.withColumn(
+        "asof_age_sec", (_us(ts) - _us("asof_ts")) / F.lit(1e6)
+    ).withColumnRenamed(f"asof_{snap_id}", "asof_snapshot_id").drop("asof_ts")
+    df = windows.with_lag_lead(df, entity, ts, [numeric_col], [1], tiebreak)
+    df = windows.with_session_id(df, entity, ts, gap_seconds, tiebreak)
+    w = windows.entity_window(entity, ts, tiebreak)
+    sess_w = windows.entity_window(entity, ts, tiebreak).partitionBy(entity, "session_id")
+    df = df.withColumn("session_pos", F.row_number().over(sess_w) - 1)
+    df = windows.with_backfill(df, entity, ts, [numeric_col], tiebreak)
+    roll = w.rowsBetween(-(width - 1), 0)
+    df = df.withColumn(f"roll_mean_{numeric_col}", F.avg(numeric_col).over(roll))
+    size = F.count(F.lit(1)).over(roll)
+    df = df.withColumn(
+        "wc",
+        F.array(*[
+            (F.sum(F.when(F.col(token_col) == t, 1).otherwise(0)).over(roll) / size)
+            for t in vocab
+        ]),
+    )
+    return df.select(
+        entity, ts, numeric_col, token_col,
+        "asof_snapshot_id", "asof_age_sec",
+        f"lag1_{numeric_col}", f"lead1_{numeric_col}",
+        "session_id", "session_pos",
+        f"{numeric_col}_bf", f"roll_mean_{numeric_col}", "wc",
+    )
