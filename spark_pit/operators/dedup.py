@@ -1,0 +1,212 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the reason each exists):
+
+- exact: one hash-groupBy — the cheapest, catches byte-identical docs.
+- minhash_lsh: near-dup at 100 TB without the O(N²) pair space — signature
+  is k mins over a seeded affine family; banding turns "similar" into
+  "equal band signature", so candidates come from an equi-join (shuffle on
+  band key), and only candidates pay the exact-Jaccard verify.
+- simhash: one 16-bit sketch per doc; hamming-adjacent buckets → candidates.
+- ngram_jaccard: exact verify primitive (also standalone for small N).
+
+Everything is JVM-side DataFrame ops (no Python UDF) and built on the
+portable md5-based token hash (textstats.tok_hash), so every stage has a
+bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_pit.operators.textstats import HASH_MOD, tok_hash, tokens
+
+# deterministic affine MinHash family (a, b) — small coefficients so
+# a * tok_hash + b stays < 2^63 (both engines overflow-check bigints)
+MINHASH_SEEDS = [(2 * i + 1, 7919 * (i + 1)) for i in range(16)]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content hash: per doc, its content group's canonical
+    id (min id), group size, and whether this row is the canonical copy."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    groups = hashed.groupBy("text_hash").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return hashed.join(groups, "text_hash").select(
+        id_col,
+        "text_hash",
+        "canonical_id",
+        "group_size",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """(id, seed, minhash): min over distinct tokens of (a·h + b) mod M for
+    each of n_hashes seeded affine maps. The seed table is tiny → broadcast
+    cross join; the aggregation is a partial-agg groupBy on (id, seed)."""
+    spark = df.sparkSession
+    seeds = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_SEEDS[:n_hashes])],
+        "seed int, a long, b long",
+    )
+    toks = _distinct_tokens(df, id_col, text_col).withColumn("th", tok_hash(F.col("tok")))
+    return (
+        toks.crossJoin(F.broadcast(seeds))
+        .groupBy(id_col, "seed")
+        .agg(F.min((F.col("a") * F.col("th") + F.col("b")) % HASH_MOD).alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and equi-join on (band, band_signature) to get
+    candidate pairs (id_a < id_b). Band signature is the '-'-joined minhash
+    list in seed order — exact, no secondary hashing."""
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("band_sig")
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact token-set Jaccard for a given candidate pair list."""
+    toks = _distinct_tokens(df, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact verify."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    return jaccard_for_pairs(pairs, df, id_col, text_col).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash sketch: for each bit j, sign of Σ_tokens (2·bit_j(h) − 1);
+    packed to one integer. Plan: distinct-token rows × tiny bit table →
+    groupBy(doc, bit) sum → groupBy(doc) pack. Two partial-agg shuffles."""
+    spark = df.sparkSession
+    bit_tbl = spark.createDataFrame([(j,) for j in range(bits)], "bit int")
+    toks = _distinct_tokens(df, id_col, text_col).withColumn("th", tok_hash(F.col("tok")))
+    contrib = toks.crossJoin(F.broadcast(bit_tbl)).select(
+        id_col,
+        "bit",
+        # shiftright/shiftleft only take literal shifts in the Python API —
+        # the SQL expression form accepts a column
+        (2 * F.expr("shiftright(th, bit) & 1") - 1).alias("c"),
+    )
+    return (
+        contrib.groupBy(id_col, "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, as rows."""
+    toks = tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """All pairs sharing ≥1 shingle, with exact shingle-set Jaccard ≥
+    threshold. The shingle equi-join IS the candidate generator (pairs with
+    no common shingle never materialize) — at scale, cap hot shingles by
+    document frequency before the join (df > cap → drop, standard trick)."""
+    sh = ngram_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: exact brute-force baseline. Pairwise cross join + a JVM-side
+  sequential fold (zip_with + aggregate) for the dot product — deterministic
+  summation order, so the DuckDB oracle (zip-unnest + sum) is bit-comparable
+  after rounding. O(N²·d): correct at test scale, the calibration baseline
+  at real scale.
+- ann_lsh_topk: the scale path — random-hyperplane LSH. Deterministic
+  hyperplanes (seeded, driver-side, broadcast), sign-bit bucket key, exact
+  cosine only within bucket. Sub-quadratic when buckets are balanced;
+  recall/probe trade-off via n_planes. (An IVF variant would swap the
+  bucket key for a k-means cell id — same plan shape.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = _as_double(vec_col)
+    return df.select(
+        F.col(id_col), v.alias(vec_col), F.sqrt(_dot(v, v)).alias("norm")
+    )
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector (self excluded). Ties broken
+    by neighbor id ascending for determinism."""
+    base = with_norm(df, id_col, vec_col)
+    a = base.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), F.col("norm").alias("qn")
+    )
+    b = base.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.col("norm").alias("nn")
+    )
+    pairs = a.join(b, F.col("qid") != F.col("nid")).select(
+        "qid",
+        "nid",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Sign-bit bucket id from n_planes seeded hyperplanes."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim, seed)
+    v = _as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        proj = _dot(v, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(2**j).cast("long")).otherwise(0)
+    return df.select(F.col(id_col), v.alias(vec_col), bucket.alias("bucket"))
+
+
+def ann_lsh_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5, n_planes: int = 6, seed: int = 42
+) -> DataFrame:
+    """Approximate top-k: exact cosine within LSH bucket only. The join is an
+    equi-join on bucket (shuffle on a small key) instead of a cross join."""
+    bucketed = lsh_bucket(df, id_col, vec_col, n_planes, seed)
+    base = bucketed.withColumn(
+        "norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    )
+    a = base.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"), "bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+        F.col("norm").alias("nn"), "bucket",
+    )
+    pairs = a.join(b, "bucket").where(F.col("qid") != F.col("nid")).select(
+        "qid",
+        "nid",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.round("cos", 6).alias("cos"))
+    )
+
+
+def centroid_per_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label mean embedding + its L2 norm (summary scalar for parity)."""
+    v = _as_double(vec_col)
+    exploded = df.select(label_col, F.posexplode(v).alias("i", "x"))
+    cent = exploded.groupBy(label_col, "i").agg(
+        F.avg("x").alias("cx"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cent.groupBy(label_col)
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 6).alias("centroid_norm"),
+            F.first("n").alias("n_vectors"),
+        )
+    )

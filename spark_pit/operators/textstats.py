@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines: token stats, quality
+scoring, language-ID heuristic, and document fingerprinting.
+
+All plans are pure `pyspark.sql.functions` (JVM-side, codegen) — no Python
+UDFs. Tokenization is a single-space split everywhere so the DuckDB oracle
+can reproduce it exactly.
+
+The token hash used across text operators is portable-by-construction:
+    tok_hash(t) = CAST(hex_prefix_15(md5(t)) AS BIGINT) % 1_000_000_007
+(md5 is bit-identical in Spark and DuckDB; 15 hex digits < 2^60 fits a long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+
+# deterministic stopword profiles for the language-ID heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+    "fr": ("le", "la", "de", "et", "est", "un"),
+}
+
+
+def tok_hash(col: Column) -> Column:
+    """Portable 64-bit-ish token hash (see module docstring)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % HASH_MOD
+    )
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token counting: n_tokens, distinct tokens, type-token
+    ratio, average token length. (BPE-ish subword counting would slot in the
+    same plan with a different split regex.)"""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        F.round(
+            (F.length(text_col) - F.size(toks) + 1) / F.size(toks), 6
+        ).alias("avg_tok_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: length, space ratio, vowel ratio, digit
+    ratio, stopword ratio, and a composite score in [0, 1]. Character-class
+    ratios use regexp_replace deletion counts (portable across regex engines:
+    only literal classes)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    toks = tokens(t)
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_PROFILES["en"]))
+    ).cast("double")
+    space_ratio = (n - F.length(F.regexp_replace(t, " ", ""))) / n
+    vowel_ratio = (n - F.length(F.regexp_replace(t, "[aeiou]", ""))) / n
+    digit_ratio = (n - F.length(F.regexp_replace(t, "[0-9]", ""))) / n
+    stop_ratio = n_stop / F.size(toks)
+    score = (
+        F.least(n / F.lit(500.0), F.lit(1.0)) * 0.4
+        + (1.0 - digit_ratio) * 0.2
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + F.least(vowel_ratio * 3.0, F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.round(space_ratio, 6).alias("space_ratio"),
+        F.round(vowel_ratio, 6).alias("vowel_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: score each profile by stopword
+    hit count over the token list; argmax wins (profile name ascending breaks
+    ties). Emits per-profile scores + prediction."""
+    toks = tokens(F.col(text_col))
+    cols = [F.col(id_col)]
+    for lang_name in sorted(LANG_PROFILES):
+        words = LANG_PROFILES[lang_name]
+        cols.append(
+            F.size(F.filter(toks, lambda x: x.isin(*words))).alias(f"score_{lang_name}")
+        )
+    scored = df.select(*cols)
+    # argmax with deterministic tie-break: greatest score, first profile wins
+    pred = None
+    best = None
+    for lang_name in sorted(LANG_PROFILES):
+        s = F.col(f"score_{lang_name}")
+        if pred is None:
+            pred, best = F.lit(lang_name), s
+        else:
+            pred = F.when(s > best, F.lit(lang_name)).otherwise(pred)
+            best = F.greatest(best, s)
+    return scored.withColumn("lang_pred", pred)
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rolling polynomial fingerprint over the token-hash sequence:
+    fp = fold(tokens, 0, (acc, t) -> (acc * 31 + tok_hash(t)) % M).
+    Order-sensitive (unlike a set hash) — detects re-orderings; identical in
+    Spark (aggregate) and DuckDB (list_reduce)."""
+    toks = tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + tok_hash(x)) % HASH_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -566,6 +566,338 @@ WHERE rk <= 3
 """
 
 
+# --------------------------------------------------------- text / dedup / ANN
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS ttr,
+       round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_tok_len
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_TEXT_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         string_split(text, ' ') AS toks,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           / length(text) AS space_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+           / length(text) AS vowel_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+           / length(text) AS digit_ratio
+  FROM documents
+),
+stopr AS (
+  SELECT *,
+         CAST(len([t for t in toks if t IN ('the','a','of','and','to','in','is')]) AS DOUBLE)
+           / len(toks) AS stop_ratio
+  FROM base
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       round(space_ratio, 6) AS space_ratio,
+       round(vowel_ratio, 6) AS vowel_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(least(n / 500.0, 1.0) * 0.4
+             + (1.0 - digit_ratio) * 0.2
+             + least(stop_ratio * 5.0, 1.0) * 0.2
+             + least(vowel_ratio * 3.0, 1.0) * 0.2, 6) AS quality
+FROM stopr
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_LANG_ID_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         len([t for t in string_split(text,' ') if t IN ('der','die','das','und','ist','ein')]) AS score_de,
+         len([t for t in string_split(text,' ') if t IN ('the','a','of','and','to','in','is')]) AS score_en,
+         len([t for t in string_split(text,' ') if t IN ('el','la','de','y','es','un')]) AS score_es,
+         len([t for t in string_split(text,' ') if t IN ('le','la','de','et','est','un')]) AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE
+         WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+         WHEN score_es > greatest(score_de, score_en) THEN 'es'
+         WHEN score_en > score_de THEN 'en'
+         ELSE 'de'
+       END AS lang_pred
+FROM scored
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000007
+            for t in string_split(text, ' ')]),
+         (acc, h) -> (acc * 31 + h) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_DEDUP_EXACT_SQL = """
+WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+grp AS (
+  SELECT text_hash, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM hashed GROUP BY text_hash
+)
+SELECT h.doc_id, h.text_hash, g.canonical_id, g.group_size,
+       h.doc_id = g.canonical_id AS is_canonical
+FROM hashed h JOIN grp g ON h.text_hash = g.text_hash
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n_hashes=16)
+
+
+Q_MINHASH_SQL = """
+WITH seeds AS (
+  SELECT i AS seed, 2 * i + 1 AS a, 7919 * (i + 1) AS b
+  FROM generate_series(0, 15) AS t(i)
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS th
+  FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(tok)
+)
+SELECT t.doc_id, s.seed, min((s.a * t.th + s.b) % 1000000007) AS minhash
+FROM toks t CROSS JOIN seeds s
+GROUP BY t.doc_id, s.seed
+"""
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.2)
+
+
+Q_MINHASH_LSH_SQL = """
+WITH seeds AS (
+  SELECT i AS seed, 2 * i + 1 AS a, 7919 * (i + 1) AS b
+  FROM generate_series(0, 15) AS t(i)
+),
+toks AS (
+  SELECT DISTINCT doc_id, tok,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS th
+  FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(tok)
+),
+sigs AS (
+  SELECT t.doc_id, s.seed, min((s.a * t.th + s.b) % 1000000007) AS minhash
+  FROM toks t CROSS JOIN seeds s GROUP BY t.doc_id, s.seed
+),
+banded AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "doc_id", "text", bits=16)
+
+
+Q_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS th
+  FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(tok)
+),
+contrib AS (
+  SELECT doc_id, b.bit AS bit,
+         2 * ((th >> b.bit) & 1) - 1 AS c
+  FROM toks CROSS JOIN (SELECT i AS bit FROM generate_series(0, 15) AS t(i)) b
+),
+sums AS (
+  SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.05)
+
+
+Q_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(
+             [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+              for i in generate_series(1, len(toks) - 2)])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) >= 0.05
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), "vec_id", "embedding", k=5)
+
+
+Q_COSINE_TOPK_SQL = """
+WITH norms AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+           (a, b) -> a + b)) AS norm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+            for i in generate_series(1, len(a.embedding))]),
+           (s, v) -> s + v) / (a.norm * b.norm) AS cos
+  FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+  FROM pairs
+)
+SELECT qid, nid, rk, round(cos, 6) AS cos FROM ranked WHERE rk <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: LSH-bucketed ANN (hyperplanes are engine-internal)."""
+    from spark_pit.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), "vec_id", "embedding", k=5, n_planes=6)
+
+
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.similarity import centroid_per_label
+
+    return centroid_per_label(_emb(spark, sf_dir), "label", "embedding")
+
+
+Q_CENTROID_SQL = """
+WITH exploded AS (
+  -- parallel unnest zips the index list with the value list
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS i,
+         unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i, avg(x) AS cx, count(*) AS n FROM exploded GROUP BY label, i
+)
+SELECT label, round(sqrt(sum(cx * cx)), 6) AS centroid_norm,
+       any_value(n) AS n_vectors
+FROM cent GROUP BY label
+"""
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: decode features over the deterministic synthetic
+    image table (binary payloads don't exist in the oracle views)."""
+    from spark_pit.datagen import images_table
+    from spark_pit.operators.images import decode_stats
+
+    return decode_stats(images_table(spark, n_entities=50, n_rows=500, seed=42))
+
+
+def q_phash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: phash bit features over the synthetic image table."""
+    from spark_pit.datagen import images_table
+    from spark_pit.operators.images import phash_features
+
+    return phash_features(images_table(spark, n_entities=50, n_rows=500, seed=42))
+
+
 # ------------------------------------------------------------------- registry
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
@@ -586,6 +918,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders": q_topk_orders,
+    # text / dedup / similarity / multimodal
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "centroid_per_label": q_centroid_per_label,
+    "image_decode_stats": q_image_decode_stats,
+    "phash_features": q_phash_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -607,4 +954,17 @@ ORACLES: dict[str, str] = {
     "pricing_summary": Q_PRICING_SUMMARY_SQL,
     "revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
     "topk_orders": Q_TOPK_ORDERS_SQL,
+    "token_stats": Q_TOKEN_STATS_SQL,
+    "text_quality": Q_TEXT_QUALITY_SQL,
+    "lang_id": Q_LANG_ID_SQL,
+    "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "minhash_signatures": Q_MINHASH_SQL,
+    "minhash_lsh_dedup": Q_MINHASH_LSH_SQL,
+    "simhash": Q_SIMHASH_SQL,
+    "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "cosine_topk": Q_COSINE_TOPK_SQL,
+    "centroid_per_label": Q_CENTROID_SQL,
+    # ann_lsh, image_decode_stats, phash_features: rows-only
+    # (engine-internal hyperplanes / binary payloads absent from oracle views)
 }

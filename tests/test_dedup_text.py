@@ -1,0 +1,103 @@
+"""Dedup / text-analysis operator semantics on planted fixtures."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_pit.operators import dedup, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),          # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "der hund und die katze sind ein team"),
+        (6, "el gato y el perro es un equipo"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "group_size"] == 2
+    assert out.loc[2, "canonical_id"] == 1
+    assert bool(out.loc[1, "is_canonical"]) and not bool(out.loc[2, "is_canonical"])
+    assert out.loc[4, "group_size"] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text").toPandas()
+    s1 = sigs[sigs.doc_id == 1].sort_values("seed")["minhash"].tolist()
+    s2 = sigs[sigs.doc_id == 2].sort_values("seed")["minhash"].tolist()
+    assert s1 == s2
+    assert len(s1) == 16
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    out = dedup.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in pairs  # exact dup always survives
+    j12 = out[(out.id_a == 1) & (out.id_b == 2)]["jaccard"].iloc[0]
+    assert j12 == 1.0
+    # doc 4/5/6 share nothing with 1 → never paired with it above threshold
+    assert not any(a == 1 and b in (4, 5, 6) for a, b in pairs)
+
+
+def test_jaccard_value_correct(docs, spark):
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [3]}))
+    out = dedup.jaccard_for_pairs(pairs, docs, "doc_id", "text").toPandas()
+    # tokens of 1: {the,quick,brown,fox,jumps,over,lazy,dog} (8)
+    # tokens of 3: jumps→leaps → intersection 7, union 9
+    assert out["jaccard"].iloc[0] == pytest.approx(7 / 9, abs=1e-6)
+
+
+def test_simhash_identical_equal_and_disjoint_differ(docs):
+    out = dedup.simhash(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "simhash"] == out.loc[2, "simhash"]
+    assert 0 <= out.loc[1, "simhash"] < 2**16
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in pairs
+    exact = out[(out.id_a == 1) & (out.id_b == 2)]
+    assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c", "a b c", "c b a"]})
+    )
+    out = textstats.doc_fingerprint(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+    assert out.loc[1, "fingerprint"] != out.loc[3, "fingerprint"]
+
+
+def test_lang_id_profiles(docs):
+    out = textstats.lang_id(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[5, "lang_pred"] == "de"
+    assert out.loc[6, "lang_pred"] == "es"
+
+
+def test_quality_monotone_in_stopwords(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the cat is in the house and a dog is of note",
+                    "zzz qqq xxx www 123 456 789 000 111 222",
+                ],
+            }
+        )
+    )
+    out = textstats.quality_score(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "quality"] > out.loc[2, "quality"]
+    assert out.loc[2, "digit_ratio"] > 0.4
