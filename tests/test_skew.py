@@ -1,0 +1,114 @@
+"""Salted skew handling: the time-chunked (salted) PIT path must be
+bit-identical to the unsalted single-group cursor (north_rule: salted
+repartitioning for hot image_ids; SURVEY.md §7 step 5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_pit.operators.pit import pit_features_cursor
+from spark_pit.operators.skew import hot_entities, pit_features_salted
+
+VOCAB = ["view", "click", "purchase"]
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _mk(spark, seed=7, n_hot=4000, n_cold=60):
+    """One hot entity with a dense, NaN-pocked, session-gapped timeline plus
+    a few cold entities; snapshots from the purchase events."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    t = 0.0
+    for i in range(n_hot):
+        # mix of sub-gap steps, exact-gap edges, and session breaks;
+        # occasional sparse stretches so some time chunks hold 1 row
+        step = rng.choice([5.0, 60.0, 1900.0, 90000.0], p=[0.6, 0.3, 0.08, 0.02])
+        t += step
+        rows.append(("hot", t, float(rng.normal()) if rng.random() > 0.15 else None,
+                     VOCAB[int(rng.integers(0, 3))]))
+    for e in range(3):
+        tc = float(e) * 3.0
+        for i in range(n_cold):
+            tc += float(rng.choice([10.0, 2500.0], p=[0.8, 0.2]))
+            rows.append((f"cold{e}", tc, float(rng.normal()) if rng.random() > 0.2 else None,
+                         VOCAB[int(rng.integers(0, 3))]))
+    pdf = pd.DataFrame(rows, columns=["user_id", "off", "value", "event_type"])
+    pdf["ts"] = pdf["off"].map(lambda s: EPOCH + dt.timedelta(seconds=s))
+    pdf["event_id"] = np.arange(len(pdf), dtype=np.int64)
+    ev = spark.createDataFrame(pdf[["user_id", "ts", "value", "event_type", "event_id"]])
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    snaps = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("snapshot_ts"), F.col("event_id").alias("snapshot_id")
+    )
+    return ev, snaps
+
+
+def _collect(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    return pdf.sort_values(["user_id", "ts"], kind="stable").reset_index(drop=True)
+
+
+def _assert_same(a: pd.DataFrame, b: pd.DataFrame):
+    assert len(a) == len(b)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if col == "wc":
+            am = np.vstack(av.to_numpy())
+            bm = np.vstack(bv.to_numpy())
+            np.testing.assert_allclose(am, bm, rtol=1e-12, atol=1e-12, err_msg=col)
+        elif av.dtype == object or str(av.dtype).startswith("datetime"):
+            assert av.equals(bv), col
+        else:
+            np.testing.assert_allclose(
+                av.to_numpy(dtype=np.float64),
+                bv.to_numpy(dtype=np.float64),
+                rtol=1e-12, atol=1e-12, equal_nan=True, err_msg=col,
+            )
+
+
+@pytest.mark.parametrize("chunk_seconds", [3600, 40000])
+def test_salted_equals_unsalted_all_entities(spark, chunk_seconds):
+    ev, snaps = _mk(spark)
+    base = _collect(pit_features_cursor(
+        ev, snaps, "user_id", "ts", "value", "event_type", VOCAB,
+        gap_seconds=1800, width=5,
+    ))
+    salted = _collect(pit_features_salted(
+        ev, snaps, "user_id", "ts", "value", "event_type", VOCAB,
+        gap_seconds=1800, width=5, chunk_seconds=chunk_seconds,
+    ))
+    _assert_same(base, salted)
+
+
+def test_hot_threshold_split_path(spark):
+    ev, snaps = _mk(spark)
+    hot = hot_entities(ev, "user_id", threshold=1000)
+    assert hot == ["hot"]
+    base = _collect(pit_features_cursor(
+        ev, snaps, "user_id", "ts", "value", "event_type", VOCAB,
+        gap_seconds=1800, width=5,
+    ))
+    mixed = _collect(pit_features_salted(
+        ev, snaps, "user_id", "ts", "value", "event_type", VOCAB,
+        gap_seconds=1800, width=5, chunk_seconds=7200, hot_threshold=1000,
+    ))
+    _assert_same(base, mixed)
+
+
+def test_salted_fans_out_tasks(spark):
+    """The salted plan must actually split the hot key across many groups."""
+    ev, snaps = _mk(spark)
+    from spark_pit.operators.skew import CHUNK
+    from spark_pit.util import ts_us
+    n_chunks = (
+        ev.where(F.col("user_id") == "hot")
+        .select(F.floor(ts_us("ts") / F.lit(3600 * 1_000_000)).alias(CHUNK))
+        .distinct()
+        .count()
+    )
+    assert n_chunks > 10
