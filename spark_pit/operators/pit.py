@@ -52,8 +52,11 @@ def pit_features_cursor(
     V = len(vocab)
     ent_type = events.schema[entity].dataType.simpleString()
     tb = [tiebreak] if tiebreak else []
+    tb_field = (
+        f"{tiebreak} {events.schema[tiebreak].dataType.simpleString()}, " if tiebreak else ""
+    )
     out_schema = (
-        f"{entity} {ent_type}, {ts} timestamp_ntz, "
+        f"{entity} {ent_type}, {ts} timestamp_ntz, {tb_field}"
         f"{numeric_col} double, {token_col} string, "
         f"asof_snapshot_id long, asof_age_sec double, "
         f"lag1_{numeric_col} double, lead1_{numeric_col} double, "
@@ -78,6 +81,7 @@ def pit_features_cursor(
             {
                 entity: ev[entity],
                 ts: ev[ts],
+                **({tiebreak: ev[tiebreak]} if tiebreak else {}),
                 numeric_col: ev[numeric_col],
                 token_col: ev[token_col],
             }
@@ -185,7 +189,7 @@ def pit_features_declarative(
         ]),
     )
     return df.select(
-        entity, ts, numeric_col, token_col,
+        entity, ts, *([tiebreak] if tiebreak else []), numeric_col, token_col,
         "asof_snapshot_id", "asof_age_sec",
         f"lag1_{numeric_col}", f"lead1_{numeric_col}",
         "session_id", "session_pos",

@@ -89,6 +89,7 @@ def pit_features_salted(
     chunk_seconds: int = 86400,
     hot_ids: list | None = None,
     hot_threshold: int | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """pit_features_cursor semantics with hot entities salted by time chunk.
 
@@ -99,7 +100,8 @@ def pit_features_salted(
     """
     from spark_pit.operators.pit import pit_features_cursor
 
-    ev = events.select(entity, ts, numeric_col, token_col)
+    tb = [tiebreak] if tiebreak else []
+    ev = events.select(entity, ts, *tb, numeric_col, token_col)
     sn = snapshots.select(entity, snap_ts, snap_id)
 
     if hot_ids is None and hot_threshold is not None:
@@ -109,25 +111,25 @@ def pit_features_salted(
         if not hot_ids:
             return pit_features_cursor(
                 ev, sn, entity, ts, numeric_col, token_col, vocab,
-                snap_ts, snap_id, gap_seconds, width,
+                snap_ts, snap_id, gap_seconds, width, tiebreak,
             )
         cold = pit_features_cursor(
             ev.where(~F.col(entity).isin(hot_ids)),
             sn.where(~F.col(entity).isin(hot_ids)),
             entity, ts, numeric_col, token_col, vocab,
-            snap_ts, snap_id, gap_seconds, width,
+            snap_ts, snap_id, gap_seconds, width, tiebreak,
         )
         hot = _salted_path(
             ev.where(F.col(entity).isin(hot_ids)),
             sn.where(F.col(entity).isin(hot_ids)),
             entity, ts, numeric_col, token_col, vocab,
-            snap_ts, snap_id, gap_seconds, width, chunk_seconds,
+            snap_ts, snap_id, gap_seconds, width, chunk_seconds, tiebreak,
         )
         return cold.unionByName(hot)
 
     return _salted_path(
         ev, sn, entity, ts, numeric_col, token_col, vocab,
-        snap_ts, snap_id, gap_seconds, width, chunk_seconds,
+        snap_ts, snap_id, gap_seconds, width, chunk_seconds, tiebreak,
     )
 
 
@@ -144,6 +146,7 @@ def _salted_path(
     gap_seconds: int,
     width: int,
     chunk_seconds: int,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     spark = ev.sparkSession
     code = {t: i for i, t in enumerate(vocab)}
@@ -152,6 +155,10 @@ def _salted_path(
     chunk_us = chunk_seconds * 1_000_000
     gap_us = gap_seconds * 1_000_000
     tail_n = max(width - 1, 1)
+    sort_keys = [ts, tiebreak] if tiebreak else [ts]
+    tb_field = (
+        f"{tiebreak} {ev.schema[tiebreak].dataType.simpleString()}, " if tiebreak else ""
+    )
 
     ev_c = ev.withColumn(CHUNK, F.floor(ts_us(ts) / F.lit(chunk_us)))
     sn_c = sn.withColumn(CHUNK, F.floor(ts_us(snap_ts) / F.lit(chunk_us)))
@@ -165,7 +172,7 @@ def _salted_path(
     )
 
     def ev_summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="stable")
+        pdf = pdf.sort_values(sort_keys, kind="stable")
         t = _to_us(pdf[ts])
         x = pdf[numeric_col].to_numpy(dtype=np.float64)
         n = len(pdf)
@@ -300,7 +307,7 @@ def _salted_path(
 
     # ---- 3. salted kernel: margin tail + body, emit body only -----------
     out_schema = (
-        f"{entity} {ent_type}, {ts} timestamp_ntz, "
+        f"{entity} {ent_type}, {ts} timestamp_ntz, {tb_field}"
         f"{numeric_col} double, {token_col} string, "
         f"asof_snapshot_id long, asof_age_sec double, "
         f"lag1_{numeric_col} double, lead1_{numeric_col} double, "
@@ -314,7 +321,7 @@ def _salted_path(
             return pd.DataFrame(
                 columns=[f.strip().split(" ")[0] for f in out_schema.split(",")]
             )
-        ev_pdf = ev_pdf.sort_values(ts, kind="stable").reset_index(drop=True)
+        ev_pdf = ev_pdf.sort_values(sort_keys, kind="stable").reset_index(drop=True)
         c0 = ev_pdf.iloc[0]
         m_ts = np.asarray(c0["c_tail_ts"] if c0["c_tail_ts"] is not None else [], dtype=np.int64)
         m_val = np.asarray(c0["c_tail_val"] if c0["c_tail_val"] is not None else [], dtype=np.float64)
@@ -334,6 +341,7 @@ def _salted_path(
             {
                 entity: ev_pdf[entity],
                 ts: ev_pdf[ts],
+                **({tiebreak: ev_pdf[tiebreak]} if tiebreak else {}),
                 numeric_col: ev_pdf[numeric_col],
                 token_col: ev_pdf[token_col],
             }

@@ -204,6 +204,113 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def _pit_fused_project(out: DataFrame) -> DataFrame:
+    """Shared projection for the fused-pipeline queries: scalars only,
+    aliased to match Q_PIT_FUSED_SQL (roll_mean excluded — float summation
+    order differs between the cursor's cumsum and SQL avg; it is covered
+    bit-exactly by the rolling_stats query via DECIMAL)."""
+    cols = [
+        F.col("event_id"),
+        F.col("user_id"),
+        ts_us("ts").alias("ts_us"),
+        F.col("asof_snapshot_id"),
+        F.round("asof_age_sec", 6).alias("asof_age_sec"),
+        F.round("lag1_value", 6).alias("lag1_value"),
+        F.round("lead1_value", 6).alias("lead1_value"),
+        F.col("session_id"),
+        F.col("session_pos"),
+        F.round("value_bf", 6).alias("value_bf"),
+    ]
+    cols += [
+        F.round(F.col("wc")[i], 6).alias(f"wc_{t}") for i, t in enumerate(EVENT_VOCAB)
+    ]
+    return out.select(*cols)
+
+
+def q_pit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship fused single-pass PIT pipeline (one applyInPandas
+    cogroup: as-of + lag/lead + sessionize + backfill + trailing
+    composition), oracle-checked column by column."""
+    from spark_pit.operators.pit import pit_features_cursor
+
+    out = pit_features_cursor(
+        _ev(spark, sf_dir),
+        _snaps(spark, sf_dir),
+        entity="user_id", ts="ts", numeric_col="value",
+        token_col="event_type", vocab=EVENT_VOCAB,
+        gap_seconds=1800, width=5, tiebreak="event_id",
+    )
+    return _pit_fused_project(out)
+
+
+def q_pit_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline through the salted skew path (every entity time-chunked
+    at 6h with boundary carries) — must hash-match the same oracle as
+    pit_fused, proving salted == unsalted == SQL."""
+    from spark_pit.operators.skew import pit_features_salted
+
+    out = pit_features_salted(
+        _ev(spark, sf_dir),
+        _snaps(spark, sf_dir),
+        entity="user_id", ts="ts", numeric_col="value",
+        token_col="event_type", vocab=EVENT_VOCAB,
+        gap_seconds=1800, width=5, chunk_seconds=6 * 3600, tiebreak="event_id",
+    )
+    return _pit_fused_project(out)
+
+
+_WC_SQL = ",\n       ".join(
+    f"round(CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) OVER roll AS DOUBLE)"
+    f" / count(*) OVER roll, 6) AS wc_{t}"
+    for t in EVENT_VOCAB
+)
+
+Q_PIT_FUSED_SQL = f"""
+WITH snaps AS ({_SNAPS_SQL}),
+asx AS (
+  SELECT e.event_id, s.snapshot_id, s.snapshot_ts,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY s.snapshot_ts DESC, s.snapshot_id DESC) AS rn
+  FROM events e
+  JOIN snaps s ON e.user_id = s.user_id AND s.snapshot_ts < e.ts
+),
+best AS (SELECT * FROM asx WHERE rn = 1),
+flagged AS (
+  SELECT e.*,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk,
+         lag(value, 1)  OVER w AS lag1_value,
+         lead(value, 1) OVER w AS lead1_value,
+         round(last_value(value IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING), 6) AS value_bf,
+         {_WC_SQL}
+  FROM events e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         roll AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+sess AS (
+  SELECT f.*,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged f
+)
+SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+       b.snapshot_id AS asof_snapshot_id,
+       round((epoch_us(s.ts) - epoch_us(b.snapshot_ts)) / 1e6, 6) AS asof_age_sec,
+       round(s.lag1_value, 6) AS lag1_value,
+       round(s.lead1_value, 6) AS lead1_value,
+       s.session_id,
+       row_number() OVER (PARTITION BY s.user_id, s.session_id
+                          ORDER BY s.ts, s.event_id) - 1 AS session_pos,
+       s.value_bf,
+       {", ".join("s.wc_" + t for t in EVENT_VOCAB)}
+FROM sess s LEFT JOIN best b ON s.event_id = b.event_id
+"""
+
+
 # ---------------------------------------------------- composition / pair families
 def q_token_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -900,6 +1007,8 @@ def q_phash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------- registry
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pit_fused": q_pit_fused,
+    "pit_salted": q_pit_salted,
     "asof_join": q_asof_join,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
@@ -936,6 +1045,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pit_fused": Q_PIT_FUSED_SQL,
+    "pit_salted": Q_PIT_FUSED_SQL,
     "asof_join": Q_ASOF_SQL,
     "lag_lead": Q_LAG_LEAD_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
