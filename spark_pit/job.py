@@ -1,0 +1,122 @@
+"""Production job entry: the full north_rule pipeline as a spark-submit
+application.
+
+    python tools/build_pyfiles.py                      # → dist/spark_pit.zip
+    spark-submit --py-files dist/spark_pit.zip tools/run_job.py \
+        --events /root/testdata/sf0.01/events.parquet \
+        --out /tmp/pit_out --hot-threshold 50000 --num-parts 64
+
+Composes the engine end-to-end:
+  events → (hot-entity detection) → salted/unsalted fused PIT kernel
+         → checkpoint-manifested partitioned write (resumable)
+and prints one JSON metrics line (rows in/out, wall seconds, rows/sec,
+resumed partitions). Re-running with the same --out resumes at partition
+granularity from the manifest.
+
+When --snapshots is omitted, the snapshot stream is derived from purchase
+events (the same convention as __spark_entry__.entry and the oracle
+queries). All heavy lifting is in spark_pit.operators / spark_pit.manifest;
+this module is argument plumbing only, so it works identically under
+spark-submit on a real cluster and under python in the sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_VOCAB = ["click", "error", "purchase", "signup", "view"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="spark_pit fused PIT feature job")
+    p.add_argument("--events", required=True, help="input events parquet path")
+    p.add_argument("--snapshots", default=None, help="snapshot parquet path (optional)")
+    p.add_argument("--out", required=True, help="output dir (data + _manifest)")
+    p.add_argument("--entity", default="user_id")
+    p.add_argument("--ts", default="ts")
+    p.add_argument("--numeric-col", default="value")
+    p.add_argument("--token-col", default="event_type")
+    p.add_argument("--vocab", default=",".join(DEFAULT_VOCAB))
+    p.add_argument("--gap-seconds", type=int, default=1800)
+    p.add_argument("--width", type=int, default=5)
+    p.add_argument("--tiebreak", default="event_id")
+    p.add_argument("--hot-threshold", type=int, default=None,
+                   help="salt entities with more events than this")
+    p.add_argument("--chunk-seconds", type=int, default=86400)
+    p.add_argument("--num-parts", type=int, default=64)
+    p.add_argument("--parts-per-batch", type=int, default=16)
+    p.add_argument("--input-snapshot", default="",
+                   help="lineage tag recorded in the manifest")
+    p.add_argument("--master", default=None,
+                   help="only for local runs without spark-submit")
+    return p
+
+
+def run(spark: SparkSession, args: argparse.Namespace) -> dict:
+    from spark_pit import manifest
+    from spark_pit.operators.skew import pit_features_salted
+
+    vocab = [v for v in args.vocab.split(",") if v]
+    ev = spark.read.parquet(args.events)
+    if args.snapshots:
+        snaps = spark.read.parquet(args.snapshots)
+    else:
+        snaps = ev.where(F.col(args.token_col) == "purchase").select(
+            args.entity,
+            F.col(args.ts).alias("snapshot_ts"),
+            F.col(args.tiebreak).alias("snapshot_id"),
+        )
+
+    t0 = time.perf_counter()
+    feats = pit_features_salted(
+        ev, snaps,
+        entity=args.entity, ts=args.ts,
+        numeric_col=args.numeric_col, token_col=args.token_col, vocab=vocab,
+        gap_seconds=args.gap_seconds, width=args.width,
+        chunk_seconds=args.chunk_seconds,
+        hot_threshold=args.hot_threshold,
+        hot_ids=None if args.hot_threshold is not None else [],
+        tiebreak=args.tiebreak or None,
+    )
+    summary = manifest.write_checkpointed(
+        feats, args.out, entity=args.entity,
+        num_parts=args.num_parts, parts_per_batch=args.parts_per_batch,
+        input_snapshot=args.input_snapshot or args.events,
+    )
+    wall = time.perf_counter() - t0
+    rows_out = sum(m["rows"] for m in manifest.read_manifest(args.out))
+    return {
+        "metric": "pit_feature_rows_per_sec",
+        "value": round(rows_out / max(wall, 1e-9), 1),
+        "unit": "rows/sec",
+        "rows_out": rows_out,
+        "wall_s": round(wall, 3),
+        "resumed_from_parts": summary["resumed_from"],
+        "complete": summary["complete"],
+        "out": args.out,
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    builder = SparkSession.builder.appName("spark_pit_job")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, args)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
