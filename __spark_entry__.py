@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
     over sf0.001 events with purchase events as the snapshot stream."""
     from pyspark.sql import functions as F
 
-    from spark_pit.operators.pit import pit_features_cursor
+    from spark_pit.operators.pit import pit_features_bucketed
     from spark_pit.queries import EVENT_VOCAB
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -31,10 +31,10 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("ts").alias("snapshot_ts"),
         F.col("event_id").alias("snapshot_id"),
     )
-    return pit_features_cursor(
+    return pit_features_bucketed(
         ev, snaps, entity="user_id", ts="ts",
         numeric_col="value", token_col="event_type", vocab=EVENT_VOCAB,
-        gap_seconds=1800, width=5,
+        gap_seconds=1800, width=5, num_buckets=32,
     )
 
 

@@ -199,3 +199,112 @@ def all_pair_counts_kernel(
     ent_type = df.schema[entity].dataType.simpleString()
     out_schema = f"{entity} {ent_type}, tok_a string, tok_b string, asdc_freq double"
     return df.select(entity, ts, token_col).groupBy(entity).applyInPandas(kern, out_schema)
+
+
+GROUP_MAP_DEFAULT = {
+    # GAAC-style reduced alphabet over the event vocabulary (the reference's
+    # 5 physchem groups at feature.py:1047-1053 become behavioral groups)
+    "click": "engage",
+    "view": "engage",
+    "purchase": "convert",
+    "signup": "convert",
+    "error": "fault",
+}
+
+
+def grouped_composition(
+    df: DataFrame,
+    entity: str,
+    token_col: str,
+    group_map: dict[str, str] | None = None,
+    out: str = "freq",
+) -> DataFrame:
+    """GAAC analogue (feature.py:1045-1076): map token → group through a
+    broadcast literal map, then per-entity group composition. One shuffle;
+    the map lookup stays in codegen."""
+    gm = group_map or GROUP_MAP_DEFAULT
+    mapping = F.create_map(*[x for k, v in gm.items() for x in (F.lit(k), F.lit(v))])
+    grouped = df.withColumn("grp", mapping[F.col(token_col)])
+    return token_composition(grouped, entity, "grp", out)
+
+
+def stride_pair_freq(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    stride: int = 2,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """PseKRAAC gapModel analogue (feature.py:2722-2770): sample the event
+    series at positions 0, stride, 2*stride, ... (``range(0, L, g+1)``),
+    then count adjacent pairs of the *sampled* series (k-tuple k=2, raw
+    counts as the reference emits). Plan: row_number → modulo filter →
+    lead over the filtered window → count."""
+    w = entity_window(entity, ts, tiebreak)
+    pos = F.row_number().over(w) - 1
+    sampled = df.withColumn("__pos", pos).where(F.col("__pos") % stride == 0)
+    w2 = entity_window(entity, "__pos", None)
+    pairs_df = sampled.select(
+        entity,
+        F.col(token_col).alias("tok_a"),
+        F.lead(token_col, 1).over(w2).alias("tok_b"),
+    ).where(F.col("tok_b").isNotNull())
+    return pairs_df.groupBy(entity, "tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+
+
+def lambda_tuple_freq(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    lam: int = 2,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """PseKRAAC lambdaModel analogue (feature.py:2772-2821): for every start
+    position, the k-tuple of tokens at offsets (0, lambda, 2*lambda); raw
+    tuple counts per entity. Two leads, one groupBy."""
+    w = entity_window(entity, ts, tiebreak)
+    tuples = df.select(
+        entity,
+        F.col(token_col).alias("tok_a"),
+        F.lead(token_col, lam).over(w).alias("tok_b"),
+        F.lead(token_col, 2 * lam).over(w).alias("tok_c"),
+    ).where(F.col("tok_c").isNotNull())
+    return tuples.groupBy(entity, "tok_a", "tok_b", "tok_c").agg(
+        F.count(F.lit(1)).alias("tuple_n")
+    )
+
+
+def ctriad_minmax(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    group_map: dict[str, str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CTriad analogue (feature.py:2070-2105): trigram counts over the
+    reduced alphabet, rescaled per entity by (c - min) / max. NB the
+    reference divides by max, not (max - min) (feature.py:2067) — replicated
+    bit-for-bit per SURVEY.md meta-fact 4."""
+    gm = group_map or GROUP_MAP_DEFAULT
+    mapping = F.create_map(*[x for k, v in gm.items() for x in (F.lit(k), F.lit(v))])
+    g = df.withColumn("grp", mapping[F.col(token_col)])
+    w = entity_window(entity, ts, tiebreak)
+    tri = g.select(
+        entity,
+        F.col("grp").alias("g_a"),
+        F.lead("grp", 1).over(w).alias("g_b"),
+        F.lead("grp", 2).over(w).alias("g_c"),
+    ).where(F.col("g_c").isNotNull())
+    counts = tri.groupBy(entity, "g_a", "g_b", "g_c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    went = Window.partitionBy(entity)
+    return counts.select(
+        entity, "g_a", "g_b", "g_c",
+        ((F.col("n") - F.min("n").over(went)) / F.max("n").over(went)).alias("ctriad"),
+    )

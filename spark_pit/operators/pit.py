@@ -143,6 +143,168 @@ def pit_features_cursor(
     return ev.groupBy(entity).cogroup(sn.groupBy(entity)).applyInPandas(kern, out_schema)
 
 
+def pit_features_bucketed(
+    events: DataFrame,
+    snapshots: DataFrame,
+    entity: str,
+    ts: str,
+    numeric_col: str,
+    token_col: str,
+    vocab: list[str],
+    snap_ts: str = "snapshot_ts",
+    snap_id: str = "snapshot_id",
+    gap_seconds: int = 1800,
+    width: int = 5,
+    tiebreak: str | None = None,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """pit_features_cursor semantics at bucket granularity: entities are
+    hashed into ``num_buckets`` groups (``pmod(xxhash64(entity), B)``) and
+    each task processes a whole bucket with **segment-vectorized** NumPy —
+    zero per-entity Python. This is the production path:
+
+    - per-group overhead (Arrow batch, pandas construction, Python dispatch)
+      is paid B times instead of once per entity — at sf0.1 that is 256
+      batches instead of ~60k, a ~10x wall-clock win measured by bench.py;
+    - task count is bounded and uniform (hash buckets), the right shape for
+      a 1000-executor cluster; hot entities go through
+      spark_pit.operators.skew instead.
+
+    Segment trick: rows sort by (entity, ts, tiebreak) inside the bucket;
+    ``seg_first[i]`` = index of row i's entity's first row. Every window
+    feature is then a cumulative-array expression clipped at seg_first, and
+    the as-of match is one ``pd.merge_asof(by=entity)`` (C implementation).
+    Equivalence with the per-entity cursor is asserted in tests.
+    """
+    code = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+    ent_type = events.schema[entity].dataType.simpleString()
+    tb = [tiebreak] if tiebreak else []
+    tb_field = (
+        f"{tiebreak} {events.schema[tiebreak].dataType.simpleString()}, " if tiebreak else ""
+    )
+    out_schema = (
+        f"{entity} {ent_type}, {ts} timestamp_ntz, {tb_field}"
+        f"{numeric_col} double, {token_col} string, "
+        f"asof_snapshot_id long, asof_age_sec double, "
+        f"lag1_{numeric_col} double, lead1_{numeric_col} double, "
+        f"session_id long, session_pos long, "
+        f"{numeric_col}_bf double, roll_mean_{numeric_col} double, "
+        f"wc array<double>"
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def kern(ev: pd.DataFrame, sn: pd.DataFrame) -> pd.DataFrame:
+        if len(ev) == 0:
+            return pd.DataFrame(
+                columns=[f.strip().split(" ")[0] for f in out_schema.split(",")]
+            )
+        ev = ev.sort_values([entity, ts, *tb], kind="stable").reset_index(drop=True)
+        n = len(ev)
+        ts_us = ev[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = ev[numeric_col].to_numpy(dtype=np.float64)
+        codes = ev[token_col].map(code).fillna(-1).to_numpy(dtype=np.int64)
+
+        ids = ev[entity].to_numpy()
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = ids[1:] != ids[:-1]
+        seg_first = np.where(new_seg, np.arange(n), 0)
+        np.maximum.accumulate(seg_first, out=seg_first)
+        # seg_last[i] = last index of row i's segment: map each segment's
+        # first index to its last, then gather through seg_first
+        ends = np.flatnonzero(np.append(new_seg[1:], True))
+        last_of_seg = np.zeros(n, dtype=np.int64)
+        last_of_seg[seg_first[ends]] = ends
+        seg_last = last_of_seg[seg_first]
+        idx_arr = np.arange(n)
+
+        out = pd.DataFrame(
+            {
+                entity: ev[entity],
+                ts: ev[ts],
+                **({tiebreak: ev[tiebreak]} if tiebreak else {}),
+                numeric_col: ev[numeric_col],
+                token_col: ev[token_col],
+            }
+        )
+
+        # --- as-of via merge_asof (strictly before; max id wins ties) ---
+        if len(sn):
+            sn2 = sn.sort_values([snap_ts, snap_id], kind="stable")
+            left = pd.DataFrame({entity: ev[entity], ts: ev[ts], "__i": idx_arr})
+            left = left.sort_values(ts, kind="stable")
+            right = pd.DataFrame(
+                {
+                    entity: sn2["__se"] if "__se" in sn2 else sn2[entity],
+                    ts: sn2[snap_ts],
+                    "__sid": sn2[snap_id].to_numpy(dtype=np.int64),
+                    "__sts": sn2[snap_ts].to_numpy().astype("datetime64[us]").astype(np.int64),
+                }
+            ).sort_values(ts, kind="stable")
+            merged = pd.merge_asof(
+                left, right, on=ts, by=entity,
+                allow_exact_matches=False, direction="backward",
+            ).sort_values("__i", kind="stable")
+            out["asof_snapshot_id"] = merged["__sid"].astype("Int64").to_numpy()
+            age = (ts_us - merged["__sts"].to_numpy(dtype=np.float64)) / 1e6
+            age[merged["__sid"].isna().to_numpy()] = np.nan
+            out["asof_age_sec"] = age
+        else:
+            out["asof_snapshot_id"] = pd.array([pd.NA] * n, dtype="Int64")
+            out["asof_age_sec"] = np.nan
+
+        # --- lag/lead clipped at segment bounds ---
+        lag1 = np.roll(x, 1)
+        lag1[idx_arr == seg_first] = np.nan
+        lead1 = np.roll(x, -1)
+        lead1[idx_arr == seg_last] = np.nan
+        out[f"lag1_{numeric_col}"] = lag1
+        out[f"lead1_{numeric_col}"] = lead1
+
+        # --- sessionization: entity change forces a break ---
+        brk = np.empty(n, dtype=np.int64)
+        brk[0] = 1
+        brk[1:] = ((np.diff(ts_us) > gap_us) | new_seg[1:]).astype(np.int64)
+        gsid = np.cumsum(brk)  # 1-based global session counter
+        out["session_id"] = gsid - gsid[seg_first]
+        sess_start = np.where(brk > 0, idx_arr, 0)
+        np.maximum.accumulate(sess_start, out=sess_start)
+        out["session_pos"] = idx_arr - sess_start
+
+        # --- backfill clipped at segment start ---
+        ffidx = np.where(~np.isnan(x), idx_arr, -1)
+        np.maximum.accumulate(ffidx, out=ffidx)
+        out[f"{numeric_col}_bf"] = np.where(
+            ffidx >= seg_first, x[ffidx.clip(0)], np.nan
+        )
+
+        # --- rolling mean: window [max(i-w+1, seg_first), i] ---
+        w_s = np.maximum(idx_arr - width + 1, seg_first)
+        cs = np.concatenate([[0.0], np.nancumsum(np.nan_to_num(x))])
+        ccnt = np.concatenate([[0], np.cumsum(~np.isnan(x))])
+        rsum = cs[idx_arr + 1] - cs[w_s]
+        rcnt = (ccnt[idx_arr + 1] - ccnt[w_s]).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[f"roll_mean_{numeric_col}"] = np.where(rcnt > 0, rsum / rcnt, np.nan)
+
+        # --- trailing window composition, same clipped window ---
+        onehot = np.zeros((n, V), dtype=np.int64)
+        valid = codes >= 0
+        onehot[idx_arr[valid], codes[valid]] = 1
+        ocs = np.concatenate([np.zeros((1, V)), np.cumsum(onehot, axis=0)])
+        wcm = (ocs[idx_arr + 1] - ocs[w_s]) / (idx_arr + 1 - w_s)[:, None]
+        out["wc"] = list(wcm)
+        return out
+
+    bkt = F.pmod(F.xxhash64(F.col(entity)), F.lit(num_buckets)).cast("int")
+    ev = events.select(entity, ts, *tb, numeric_col, token_col).withColumn("__b", bkt)
+    sn = snapshots.select(
+        F.col(entity).alias("__se"), F.col(snap_ts), F.col(snap_id)
+    ).withColumn("__b", F.pmod(F.xxhash64(F.col("__se")), F.lit(num_buckets)).cast("int"))
+    return ev.groupBy("__b").cogroup(sn.groupBy("__b")).applyInPandas(kern, out_schema)
+
+
 def pit_features_declarative(
     events: DataFrame,
     snapshots: DataFrame,

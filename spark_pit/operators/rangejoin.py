@@ -1,0 +1,83 @@
+"""Banded range join + shell composition (SURVEY.md §2.8).
+
+The reference's iStructure descriptors build, for every probe residue, the
+set of residues within annular distance shells and aggregate composition
+per shell (`AAC_type1` feature.py:4266-4290 over the per-probe distance
+frame built at feature.py:4107-4121 — a full O(N^2) rebuild per probe).
+
+Spark shape: a **banded equi-join**. A raw range predicate
+``abs(p.v - x.v) < max_dist`` would execute as BroadcastNestedLoopJoin
+(O(N*M)); instead each probe row is exploded into the fixed set of bands
+its radius can reach (``max_dist / band_width + 1`` copies), the join runs
+as a hash equi-join on (entity, band), and the true distance predicate
+filters the few candidates inside matching bands. This is the standard
+interval-bucketing trick (same as the minhash band join in dedup.py).
+
+Here the 1-D coordinate is a numeric channel of the event (the engine's
+analogue of the 3-D residue distance); the same plan generalizes to any
+monotone banding key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shell_composition(
+    points: DataFrame,
+    probes: DataFrame,
+    entity: str,
+    coord: str,
+    token_col: str,
+    probe_id: str,
+    shell_width: float,
+    n_shells: int,
+) -> DataFrame:
+    """Per (probe, shell) token composition, shell s covering
+    ``s*shell_width <= |probe.coord - point.coord| < (s+1)*shell_width``
+    (annular, AAC_type1 semantics; the point at distance 0 — the probe
+    itself — lands in shell 0 like the reference's self row).
+
+    Returns (probe_id, shell, token, n, freq) — freq normalized within the
+    (probe, shell) ball like feature.py:4284-4287.
+    """
+    max_dist = shell_width * n_shells
+    band = shell_width  # band width = shell width keeps candidates tight
+
+    pts = points.select(
+        F.col(entity).alias("__pe"),
+        F.col(coord).alias("__pv"),
+        F.col(token_col).alias("__ptok"),
+        F.floor(F.col(coord) / band).cast("long").alias("__pband"),
+    )
+    n_bands = int(max_dist / band) + 1
+    prb = probes.select(
+        F.col(entity).alias("__qe"),
+        F.col(coord).alias("__qv"),
+        F.col(probe_id).alias("probe_id"),
+    ).withColumn(
+        "__pband",
+        F.explode(
+            F.sequence(
+                (F.floor(F.col("__qv") / band) - n_bands).cast("long"),
+                (F.floor(F.col("__qv") / band) + n_bands).cast("long"),
+            )
+        ),
+    )
+    joined = prb.join(
+        pts, (F.col("__qe") == F.col("__pe")) & (prb["__pband"] == pts["__pband"])
+    ).select(
+        "probe_id",
+        F.col("__qe").alias(entity),
+        F.col("__ptok").alias(token_col),
+        F.abs(F.col("__qv") - F.col("__pv")).alias("__d"),
+    ).where(F.col("__d") < max_dist)
+    shelled = joined.withColumn(
+        "shell", F.floor(F.col("__d") / F.lit(shell_width)).cast("int")
+    )
+    counts = shelled.groupBy("probe_id", entity, "shell", token_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("probe_id", "shell"))
+    return counts.withColumn("freq", F.col("n") / tot)

@@ -120,3 +120,41 @@ def centroid_per_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame
             F.first("n").alias("n_vectors"),
         )
     )
+
+
+def knn_label_fractions(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    train_pred,
+    k: int = 5,
+) -> DataFrame:
+    """KNN descriptor analogue (feature.py:3802-3864): for every vector, the
+    top-k nearest *training* vectors by cosine (self excluded), then the
+    per-label neighbor fraction (`CalculateContent` feature.py:3791-3800).
+
+    Plan: query x train join with the train side broadcast (training sets
+    are the small dimension at scale), rank-filter via row_number over the
+    per-query window (ties by neighbor id, mirroring the reference's
+    deterministic lexsort at feature.py:3853), conditional-mean aggregate.
+    """
+    base = with_norm(df.select(id_col, vec_col), id_col, vec_col)
+    labels = df.select(F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel"))
+    q = base.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), F.col("norm").alias("qn")
+    )
+    t = (
+        base.where(train_pred(F.col(id_col)))
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.col("norm").alias("nn"))
+        .join(labels, "nid")
+    )
+    pairs = q.join(F.broadcast(t), F.col("qid") != F.col("nid")).select(
+        "qid", "nid", "nlabel",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    topk = pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return topk.groupBy("qid", "nlabel").agg(
+        (F.count(F.lit(1)) / F.lit(float(k))).alias("frac")
+    )

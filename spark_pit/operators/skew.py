@@ -98,7 +98,7 @@ def pit_features_salted(
     single-group path. With ``hot_ids=None, hot_threshold=None`` every
     entity is salted (used by the equivalence tests).
     """
-    from spark_pit.operators.pit import pit_features_cursor
+    from spark_pit.operators.pit import pit_features_bucketed
 
     tb = [tiebreak] if tiebreak else []
     ev = events.select(entity, ts, *tb, numeric_col, token_col)
@@ -109,11 +109,11 @@ def pit_features_salted(
 
     if hot_ids is not None:
         if not hot_ids:
-            return pit_features_cursor(
+            return pit_features_bucketed(
                 ev, sn, entity, ts, numeric_col, token_col, vocab,
                 snap_ts, snap_id, gap_seconds, width, tiebreak,
             )
-        cold = pit_features_cursor(
+        cold = pit_features_bucketed(
             ev.where(~F.col(entity).isin(hot_ids)),
             sn.where(~F.col(entity).isin(hot_ids)),
             entity, ts, numeric_col, token_col, vocab,

@@ -228,17 +228,17 @@ def _pit_fused_project(out: DataFrame) -> DataFrame:
 
 
 def q_pit_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship fused single-pass PIT pipeline (one applyInPandas
-    cogroup: as-of + lag/lead + sessionize + backfill + trailing
+    """The flagship fused single-pass PIT pipeline (bucketed segment-
+    vectorized kernel: as-of + lag/lead + sessionize + backfill + trailing
     composition), oracle-checked column by column."""
-    from spark_pit.operators.pit import pit_features_cursor
+    from spark_pit.operators.pit import pit_features_bucketed
 
-    out = pit_features_cursor(
+    out = pit_features_bucketed(
         _ev(spark, sf_dir),
         _snaps(spark, sf_dir),
         entity="user_id", ts="ts", numeric_col="value",
         token_col="event_type", vocab=EVENT_VOCAB,
-        gap_seconds=1800, width=5, tiebreak="event_id",
+        gap_seconds=1800, width=5, tiebreak="event_id", num_buckets=64,
     )
     return _pit_fused_project(out)
 
@@ -467,6 +467,331 @@ SELECT f.user_id, f.tok_a, f.tok_b,
 FROM freq f
 JOIN comp fa ON f.user_id = fa.user_id AND fa.event_type = f.tok_a
 JOIN comp fb ON f.user_id = fb.user_id AND fb.event_type = f.tok_b
+"""
+
+
+# ------------------------------------------ reduced-alphabet / seq-order families
+_GROUP_CASE_SQL = (
+    "CASE event_type WHEN 'click' THEN 'engage' WHEN 'view' THEN 'engage' "
+    "WHEN 'purchase' THEN 'convert' WHEN 'signup' THEN 'convert' "
+    "ELSE 'fault' END"
+)
+
+# deterministic token → property table (the engine's stand-in for the
+# reference's missing Schneider-Wrede/Grantham/AAidx data files)
+PROP_TABLE = {"click": 0.5, "error": -2.0, "purchase": 3.5, "signup": 2.0, "view": 1.0}
+_PROP_CASE_SQL = (
+    "CASE event_type WHEN 'click' THEN 0.5 WHEN 'error' THEN -2.0 "
+    "WHEN 'purchase' THEN 3.5 WHEN 'signup' THEN 2.0 WHEN 'view' THEN 1.0 END"
+)
+
+
+def q_grouped_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.pairs import grouped_composition
+
+    out = grouped_composition(_ev(spark, sf_dir), "user_id", "event_type")
+    return out.select("user_id", "grp", F.round("freq", 6).alias("freq"))
+
+
+Q_GROUPED_COMPOSITION_SQL = f"""
+WITH g AS (SELECT user_id, {_GROUP_CASE_SQL} AS grp FROM events)
+SELECT user_id, grp,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY user_id), 6) AS freq
+FROM g GROUP BY user_id, grp
+"""
+
+
+def q_stride_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.pairs import stride_pair_freq
+
+    return stride_pair_freq(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type", stride=2, tiebreak="event_id"
+    )
+
+
+Q_STRIDE_PAIRS_SQL = """
+WITH pos AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p
+  FROM events
+),
+samp AS (SELECT * FROM pos WHERE p % 2 = 0),
+pr AS (
+  SELECT user_id, event_type AS tok_a,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY p) AS tok_b
+  FROM samp
+)
+SELECT user_id, tok_a, tok_b, count(*) AS pair_n
+FROM pr WHERE tok_b IS NOT NULL GROUP BY user_id, tok_a, tok_b
+"""
+
+
+def q_lambda_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.pairs import lambda_tuple_freq
+
+    return lambda_tuple_freq(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type", lam=2, tiebreak="event_id"
+    )
+
+
+Q_LAMBDA_TUPLES_SQL = """
+WITH t AS (
+  SELECT user_id, event_type AS tok_a,
+         lead(event_type, 2) OVER w AS tok_b,
+         lead(event_type, 4) OVER w AS tok_c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, tok_a, tok_b, tok_c, count(*) AS tuple_n
+FROM t WHERE tok_c IS NOT NULL GROUP BY user_id, tok_a, tok_b, tok_c
+"""
+
+
+def q_ctriad_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.pairs import ctriad_minmax
+
+    out = ctriad_minmax(_ev(spark, sf_dir), "user_id", "ts", "event_type", tiebreak="event_id")
+    return out.select("user_id", "g_a", "g_b", "g_c", F.round("ctriad", 6).alias("ctriad"))
+
+
+Q_CTRIAD_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, {_GROUP_CASE_SQL} AS grp FROM events
+),
+tri AS (
+  SELECT user_id, grp AS g_a,
+         lead(grp, 1) OVER w AS g_b,
+         lead(grp, 2) OVER w AS g_c
+  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cnt AS (
+  SELECT user_id, g_a, g_b, g_c, count(*) AS n
+  FROM tri WHERE g_c IS NOT NULL GROUP BY user_id, g_a, g_b, g_c
+)
+SELECT user_id, g_a, g_b, g_c,
+       round((n - min(n) OVER (PARTITION BY user_id))
+             / CAST(max(n) OVER (PARTITION BY user_id) AS DOUBLE), 6) AS ctriad
+FROM cnt
+"""
+
+
+def q_soc_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.seqorder import soc_number
+
+    out = soc_number(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type", PROP_TABLE,
+        nlag=3, tiebreak="event_id",
+    )
+    return out.select("user_id", "lag", F.round("soc", 6).alias("soc"))
+
+
+Q_SOC_NUMBER_SQL = f"""
+WITH p AS (
+  SELECT user_id, ts, event_id, {_PROP_CASE_SQL} AS p FROM events
+),
+l AS (
+  SELECT user_id, g.lag AS lag,
+         power(p - CASE g.lag
+           WHEN 1 THEN lead(p, 1) OVER w
+           WHEN 2 THEN lead(p, 2) OVER w
+           ELSE        lead(p, 3) OVER w END, 2) AS sq
+  FROM p CROSS JOIN (VALUES (1), (2), (3)) AS g(lag)
+  WINDOW w AS (PARTITION BY user_id, g.lag ORDER BY ts, event_id)
+)
+SELECT user_id, lag, round(avg(sq), 6) AS soc
+FROM l WHERE sq IS NOT NULL GROUP BY user_id, lag
+"""
+
+
+def _qso_sql(agg: str) -> str:
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, event_id, event_type, {_PROP_CASE_SQL} AS p FROM events
+),
+l AS (
+  SELECT user_id, g.lag AS lag,
+         power(p - CASE g.lag
+           WHEN 1 THEN lead(p, 1) OVER w
+           WHEN 2 THEN lead(p, 2) OVER w
+           ELSE        lead(p, 3) OVER w END, 2) AS sq
+  FROM p CROSS JOIN (VALUES (1), (2), (3)) AS g(lag)
+  WINDOW w AS (PARTITION BY user_id, g.lag ORDER BY ts, event_id)
+),
+tau AS (
+  SELECT user_id, lag, {agg}(sq) AS tau FROM l WHERE sq IS NOT NULL
+  GROUP BY user_id, lag
+),
+tot AS (SELECT user_id, sum(tau) AS tau_sum FROM tau GROUP BY user_id),
+cnt AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type)
+SELECT c.user_id, 'comp_' || c.event_type AS feature,
+       round(c.cnt / (1.0 + 0.1 * t.tau_sum), 6) AS val
+FROM cnt c JOIN tot t ON c.user_id = t.user_id
+UNION ALL
+SELECT u.user_id, 'tau_' || u.lag AS feature,
+       round(0.1 * u.tau / (1.0 + 0.1 * t.tau_sum), 6) AS val
+FROM tau u JOIN tot t ON u.user_id = t.user_id
+"""
+
+
+def q_qso_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.seqorder import qso_order
+
+    out = qso_order(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type", PROP_TABLE,
+        vocab=EVENT_VOCAB, nlag=3, weight=0.1, theta_mean=False,
+    )
+    return out.select("user_id", "feature", F.round("val", 6).alias("val"))
+
+
+Q_QSO_ORDER_SQL = _qso_sql("sum")
+
+
+def q_paac_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.seqorder import qso_order
+
+    out = qso_order(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type", PROP_TABLE,
+        vocab=EVENT_VOCAB, nlag=3, weight=0.1, theta_mean=True,
+    )
+    return out.select("user_id", "feature", F.round("val", 6).alias("val"))
+
+
+Q_PAAC_SQL = _qso_sql("avg")
+
+
+# ------------------------------------------------- encodings / normalization
+def q_positional_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.encode import positional_onehot
+
+    out = positional_onehot(
+        _ev(spark, sf_dir).select("event_id", "user_id", "event_type"),
+        "event_type", EVENT_VOCAB,
+    )
+    return out.select(
+        "event_id", "user_id", *[f"oh_{t}" for t in EVENT_VOCAB]
+    )
+
+
+Q_POSITIONAL_ONEHOT_SQL = "SELECT event_id, user_id, " + ", ".join(
+    f"CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END AS oh_{t}" for t in
+    ["click", "error", "purchase", "signup", "view"]
+) + " FROM events"
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.encode import zscore_norm
+
+    out = zscore_norm(
+        _ev(spark, sf_dir).select("event_id", "user_id", "value"), "user_id", "value"
+    )
+    return out.select("event_id", "user_id", F.round("value_z", 6).alias("value_z"))
+
+
+Q_ZSCORE_SQL = """
+SELECT event_id, user_id,
+       round(CASE WHEN stddev_samp(value) OVER w > 0
+             THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w END, 6)
+         AS value_z
+FROM events WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.encode import minmax_norm
+
+    out = minmax_norm(
+        _ev(spark, sf_dir).select("event_id", "user_id", "value"), "user_id", "value"
+    )
+    return out.select("event_id", "user_id", F.round("value_mm", 6).alias("value_mm"))
+
+
+Q_MINMAX_SQL = """
+SELECT event_id, user_id,
+       round(CASE WHEN max(value) OVER w > min(value) OVER w
+             THEN (value - min(value) OVER w)
+                  / (max(value) OVER w - min(value) OVER w) END, 6) AS value_mm
+FROM events WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+# --------------------------------------------------- spatial / cross-entity
+def q_shell_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.rangejoin import shell_composition
+
+    ev = _ev(spark, sf_dir)
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "value", F.col("event_id").alias("probe_id")
+    )
+    out = shell_composition(
+        ev, probes, entity="user_id", coord="value", token_col="event_type",
+        probe_id="probe_id", shell_width=0.5, n_shells=4,
+    )
+    return out.select(
+        "probe_id", "user_id", "shell", "event_type", "n",
+        F.round("freq", 6).alias("freq"),
+    )
+
+
+Q_SHELL_COMPOSITION_SQL = """
+WITH probes AS (
+  SELECT event_id AS probe_id, user_id, value AS qv
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.probe_id, p.user_id, e.event_type,
+         abs(p.qv - e.value) AS d
+  FROM probes p JOIN events e ON p.user_id = e.user_id
+  WHERE abs(p.qv - e.value) < 2.0
+),
+cnt AS (
+  SELECT probe_id, user_id, CAST(floor(d / 0.5) AS INT) AS shell,
+         event_type, count(*) AS n
+  FROM j GROUP BY probe_id, user_id, shell, event_type
+)
+SELECT probe_id, user_id, shell, event_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY probe_id, shell), 6) AS freq
+FROM cnt
+"""
+
+
+def q_knn_label_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.similarity import knn_label_fractions
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_label_fractions(
+        emb, "vec_id", "embedding", "label",
+        train_pred=lambda c: c % 2 == 0, k=5,
+    )
+    return out.select("qid", "nlabel", F.round("frac", 6).alias("frac"))
+
+
+Q_KNN_LABEL_FRACTIONS_SQL = """
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+           (a, b) -> a + b)) AS norm
+  FROM embeddings
+),
+t AS (SELECT vec_id AS nid, label AS nlabel, embedding AS nv, norm AS nn
+      FROM norms WHERE vec_id % 2 = 0),
+pairs AS (
+  SELECT q.vec_id AS qid, t.nid, t.nlabel,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(q.embedding[i] AS DOUBLE) * CAST(t.nv[i] AS DOUBLE)
+            for i in generate_series(1, len(q.embedding))]),
+           (s, v) -> s + v) / (q.norm * t.nn) AS cos
+  FROM norms q JOIN t ON q.vec_id <> t.nid
+),
+ranked AS (
+  SELECT qid, nid, nlabel,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+  FROM pairs
+)
+SELECT qid, nlabel, round(count(*) / 5.0, 6) AS frac
+FROM ranked WHERE rk <= 5 GROUP BY qid, nlabel
 """
 
 
@@ -1027,6 +1352,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders": q_topk_orders,
+    # reduced-alphabet / seq-order / encoding / spatial / cross-entity
+    "grouped_composition": q_grouped_composition,
+    "stride_pairs": q_stride_pairs,
+    "lambda_tuples": q_lambda_tuples,
+    "ctriad_minmax": q_ctriad_minmax,
+    "soc_number": q_soc_number,
+    "qso_order": q_qso_order,
+    "paac_weights": q_paac_weights,
+    "positional_onehot": q_positional_onehot,
+    "zscore": q_zscore,
+    "minmax": q_minmax,
+    "shell_composition": q_shell_composition,
+    "knn_label_fractions": q_knn_label_fractions,
     # text / dedup / similarity / multimodal
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
@@ -1065,6 +1403,18 @@ ORACLES: dict[str, str] = {
     "pricing_summary": Q_PRICING_SUMMARY_SQL,
     "revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
     "topk_orders": Q_TOPK_ORDERS_SQL,
+    "grouped_composition": Q_GROUPED_COMPOSITION_SQL,
+    "stride_pairs": Q_STRIDE_PAIRS_SQL,
+    "lambda_tuples": Q_LAMBDA_TUPLES_SQL,
+    "ctriad_minmax": Q_CTRIAD_SQL,
+    "soc_number": Q_SOC_NUMBER_SQL,
+    "qso_order": Q_QSO_ORDER_SQL,
+    "paac_weights": Q_PAAC_SQL,
+    "positional_onehot": Q_POSITIONAL_ONEHOT_SQL,
+    "zscore": Q_ZSCORE_SQL,
+    "minmax": Q_MINMAX_SQL,
+    "shell_composition": Q_SHELL_COMPOSITION_SQL,
+    "knn_label_fractions": Q_KNN_LABEL_FRACTIONS_SQL,
     "token_stats": Q_TOKEN_STATS_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,
     "lang_id": Q_LANG_ID_SQL,

@@ -1,0 +1,102 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion (BASELINE.json: "throughput scaling efficiency >= 0.8 between N
+and 4N executors"). No real cluster exists in the sandbox, so per the
+driver instruction we run the SAME flagship job on the SAME input at two
+parallelism levels — local[8] vs local[32] — in separate JVMs, and report
+
+    efficiency = (rows/s @ 32 cores) / (4 x rows/s @ 8 cores)
+
+Each level is a fresh spark-submit-equivalent subprocess (fresh JVM, no
+shared JIT/caches). bench.py's warm-run-then-measure protocol excludes
+session startup and file listing from the timing. SPARK_GRAFT_REPL
+amplifies the input deterministically (disjoint user_id ranges per replica)
+so kernel compute, not fixed overhead, dominates — the regime a real
+cluster operates in.
+
+Usage: python tools/bench_scaling.py [--sf-dir DIR] [--repl N] [--update-md]
+Prints one JSON line; --update-md rewrites the results table in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, sf_dir: str, repl: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_REPL=str(repl),
+        SPARK_GRAFT_BENCH_QUERIES="flagship",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repl", type=int, default=8)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--update-md", action="store_true")
+    args = ap.parse_args()
+
+    lo = run_level(args.low, args.sf_dir, args.repl)
+    hi = run_level(args.high, args.sf_dir, args.repl)
+    ratio = args.high / args.low
+    rps_lo = lo["event_rows"] / lo["queries"]["flagship"]
+    rps_hi = hi["event_rows"] / hi["queries"]["flagship"]
+    eff = rps_hi / (ratio * rps_lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"(rows/s @{args.high}c) / ({int(ratio)} x rows/s @{args.low}c)",
+        "sf": args.sf_dir,
+        "repl": args.repl,
+        "rows": lo["event_rows"],
+        "low_cores": args.low,
+        "low_wall_s": lo["queries"]["flagship"],
+        "low_rows_per_sec": round(rps_lo, 1),
+        "high_cores": args.high,
+        "high_wall_s": hi["queries"]["flagship"],
+        "high_rows_per_sec": round(rps_hi, 1),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    if args.update_md:
+        md = os.path.join(ROOT, "BENCH.md")
+        with open(md, "w") as fh:
+            fh.write(
+                "# BENCH — scaling efficiency (north rule two-cluster-size criterion)\n\n"
+                "Sandbox stand-in for N vs 4N executors: same flagship job "
+                "(fused PIT cursor: as-of + lag/lead + sessionize + backfill + "
+                "trailing composition), same input, two parallelism levels in "
+                "fresh JVMs. Warm-run-then-measure (startup excluded).\n\n"
+                f"Input: `{args.sf_dir}` events x{args.repl} replicas = "
+                f"{lo['event_rows']:,} rows.\n\n"
+                "| run | cores | wall s | rows/s | efficiency |\n"
+                "|---|---|---|---|---|\n"
+                f"| flagship @ local[{args.low}] | {args.low} | "
+                f"{lo['queries']['flagship']} | {rps_lo:,.0f} | — |\n"
+                f"| flagship @ local[{args.high}] | {args.high} | "
+                f"{hi['queries']['flagship']} | {rps_hi:,.0f} | "
+                f"**{eff:.3f}** (target ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}) |\n\n"
+                "Reproduce: `python tools/bench_scaling.py --update-md`\n"
+            )
+
+
+if __name__ == "__main__":
+    main()
