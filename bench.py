@@ -53,6 +53,10 @@ def main() -> None:
     def _events(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         if repl > 1:
+            # parallelize the amplification: the sf parquet is one small file
+            # (one scan task); without this the explode's shuffle write is a
+            # serial Amdahl term that poisons the scaling measurement
+            ev = ev.repartition(int(cpus) * 2)
             ev = ev.withColumn("__r", F.explode(F.lit(list(range(repl))))).select(
                 (F.col("user_id").cast("long")
                  + F.col("__r").cast("long") * F.lit(1_000_000_000)).alias("user_id"),

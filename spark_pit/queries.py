@@ -795,6 +795,61 @@ FROM ranked WHERE rk <= 5 GROUP BY qid, nlabel
 """
 
 
+# ------------------------------------------------- embedding / analysis plane
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: iterator-UDF embedding extraction (token-budget batching,
+    model-once-per-worker) — §2.10 notebook pipeline analogue."""
+    from spark_pit.operators.embed import embed_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return embed_documents(docs, "doc_id", "text", dim=64)
+
+
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib PCA over the embedding column (ESM_embed.ipynb
+    PCA(100) second pass; sign-indeterminate → no value oracle)."""
+    from spark_pit.operators.analysis import pca_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_embeddings(emb, "vec_id", "embedding", k=8)
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib KMeans over embeddings (iAnalysis.kmeans
+    feature.py:4779-4792; centroid init is platform-dependent → no oracle)."""
+    from spark_pit.operators.analysis import kmeans_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_clusters(emb, "vec_id", "embedding", k=4, seed=42)
+
+
+def q_channel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.analysis import channel_correlation
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("value").alias("value"),
+        (ts_us("ts") % F.lit(86_400_000_000) / F.lit(1e6)).alias("sec_of_day"),
+        F.length("props").cast("double").alias("props_len"),
+    )
+    out = channel_correlation(ev, ["value", "sec_of_day", "props_len"])
+    return out.select("ch_a", "ch_b", F.round("pearson", 5).alias("pearson"))
+
+
+Q_CHANNEL_CORRELATION_SQL = """
+WITH ch AS (
+  SELECT value,
+         (epoch_us(ts) % 86400000000) / 1e6 AS sec_of_day,
+         CAST(length(props) AS DOUBLE) AS props_len
+  FROM events
+)
+SELECT 'value' AS ch_a, 'sec_of_day' AS ch_b, round(corr(value, sec_of_day), 5) AS pearson FROM ch
+UNION ALL
+SELECT 'value', 'props_len', round(corr(value, props_len), 5) FROM ch
+UNION ALL
+SELECT 'sec_of_day', 'props_len', round(corr(sec_of_day, props_len), 5) FROM ch
+"""
+
+
 # -------------------------------------------------------------- autocorrelation
 def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1365,6 +1420,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax": q_minmax,
     "shell_composition": q_shell_composition,
     "knn_label_fractions": q_knn_label_fractions,
+    "embed_documents": q_embed_documents,
+    "pca_embeddings": q_pca_embeddings,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "channel_correlation": q_channel_correlation,
     # text / dedup / similarity / multimodal
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
@@ -1415,6 +1474,9 @@ ORACLES: dict[str, str] = {
     "minmax": Q_MINMAX_SQL,
     "shell_composition": Q_SHELL_COMPOSITION_SQL,
     "knn_label_fractions": Q_KNN_LABEL_FRACTIONS_SQL,
+    "channel_correlation": Q_CHANNEL_CORRELATION_SQL,
+    # embed_documents, pca_embeddings, kmeans_embeddings: rows-only
+    # (hash-projector / eigen-sign / centroid-init not SQL-reproducible)
     "token_stats": Q_TOKEN_STATS_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,
     "lang_id": Q_LANG_ID_SQL,

@@ -1,0 +1,51 @@
+"""Embedding pipeline (§2.10 analogue) + analysis plane (§2.9 MLlib)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spark_pit.operators.analysis import (
+    channel_correlation,
+    kmeans_clusters,
+    pca_embeddings,
+)
+from spark_pit.operators.embed import embed_documents
+
+
+def test_embed_deterministic_and_normalized(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = embed_documents(docs, "doc_id", "text", dim=32).toPandas().set_index("doc_id")
+    b = embed_documents(docs, "doc_id", "text", dim=32).toPandas().set_index("doc_id")
+    assert len(a) == docs.count()
+    for did in a.index[:50]:
+        np.testing.assert_array_equal(a.loc[did, "embedding"], b.loc[did, "embedding"])
+    norms = np.array([np.linalg.norm(v) for v in a["embedding"]])
+    nonempty = a["n_tokens"].to_numpy() > 0
+    np.testing.assert_allclose(norms[nonempty], 1.0, rtol=1e-5)
+
+
+def test_embed_token_budget_batching(spark, sf_dir):
+    """Tiny budget still embeds every doc (budget slices, never drops)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    out = embed_documents(docs, "doc_id", "text", dim=16, max_tokens=8)
+    assert out.count() == 100
+
+
+def test_kmeans_and_pca_shapes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    km = kmeans_clusters(emb, "vec_id", "embedding", k=4, seed=42).toPandas()
+    assert len(km) == emb.count()
+    assert set(km["cluster"]) <= {0, 1, 2, 3}
+    pca = pca_embeddings(emb, "vec_id", "embedding", k=8).toPandas()
+    assert len(pca) == emb.count()
+    assert all(len(v) == 8 for v in pca["pca"])
+
+
+def test_channel_correlation_bounds(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "value", F.length("props").cast("double").alias("plen")
+    )
+    out = channel_correlation(ev, ["value", "plen"]).toPandas()
+    assert len(out) == 1
+    assert abs(out["pearson"].iloc[0]) <= 1.0
