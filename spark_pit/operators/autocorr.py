@@ -52,35 +52,38 @@ def autocorr_long(
     for n in range(1, nlags + 1):
         base = base.withColumn(f"__lead{n}", F.lead(value_col, n).over(w))
 
-    per_lag = []
+    # ONE aggregation carrying every lag's partial sums (the per-lag-union
+    # form recomputes base once per lag — nlags shuffles), then stack-unpivot
+    # and finish the arithmetic per row.
     x = F.col(value_col)
+    aggs = [F.first("__L").alias("L"), F.first("__ss").alias("ss")]
     for n in range(1, nlags + 1):
         y = F.col(f"__lead{n}")
         valid = y.isNotNull()
-        cnt = F.sum(F.when(valid, 1).otherwise(0))
-        sum_xy = F.sum(F.when(valid, x * y))
-        sum_cov = F.sum(F.when(valid, (x - F.col("__m")) * (y - F.col("__m"))))
-        sum_sqd = F.sum(F.when(valid, (x - y) * (x - y)))
-        L = F.first("__L")
-        ss = F.first("__ss")
-        per_lag.append(
-            base.groupBy(entity)
-            .agg(
-                F.lit(n).alias("lag"),
-                (sum_xy / cnt).alias("nmbroto"),
-                (sum_cov / cnt).alias("ac"),
-                F.when(ss > 0, (sum_cov / cnt) / (ss / L)).alias("moran"),
-                F.when(ss > 0, (L - 1) / (2.0 * cnt) * sum_sqd / ss).alias("geary"),
-                (sum_sqd / cnt).alias("soc"),
-                cnt.alias("n_pairs"),
-            )
-            .where(F.col("n_pairs") > 0)
-        )
-
-    out = per_lag[0]
-    for p in per_lag[1:]:
-        out = out.unionByName(p)
-    return out.drop("n_pairs")
+        aggs += [
+            F.sum(F.when(valid, 1).otherwise(0)).alias(f"cnt{n}"),
+            F.sum(F.when(valid, x * y)).alias(f"xy{n}"),
+            F.sum(F.when(valid, (x - F.col("__m")) * (y - F.col("__m")))).alias(f"cov{n}"),
+            F.sum(F.when(valid, (x - y) * (x - y))).alias(f"sqd{n}"),
+        ]
+    wide = base.groupBy(entity).agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (lag, cnt, xy, cov, sqd)".format(
+        n=nlags,
+        args=", ".join(f"{n}, cnt{n}, xy{n}, cov{n}, sqd{n}" for n in range(1, nlags + 1)),
+    )
+    long = wide.select(entity, "L", "ss", F.expr(stack_expr)).where(F.col("cnt") > 0)
+    ss = F.col("ss")
+    cnt = F.col("cnt")
+    L = F.col("L")
+    return long.select(
+        entity,
+        "lag",
+        (F.col("xy") / cnt).alias("nmbroto"),
+        (F.col("cov") / cnt).alias("ac"),
+        F.when(ss > 0, (F.col("cov") / cnt) / (ss / L)).alias("moran"),
+        F.when(ss > 0, (L - 1) / (2.0 * cnt) * F.col("sqd") / ss).alias("geary"),
+        (F.col("sqd") / cnt).alias("soc"),
+    )
 
 
 def cross_cov_long(
@@ -104,19 +107,20 @@ def cross_cov_long(
     )
     for n in range(1, nlags + 1):
         base = base.withColumn(f"__lead{n}", F.lead(col2, n).over(w))
-    parts = []
+    aggs = []
     for n in range(1, nlags + 1):
         y = F.col(f"__lead{n}")
         valid = y.isNotNull()
-        cnt = F.sum(F.when(valid, 1).otherwise(0))
-        s = F.sum(F.when(valid, (F.col(col1) - F.col("__m1")) * (y - F.col("__m2"))))
-        parts.append(
-            base.groupBy(entity)
-            .agg(F.lit(n).alias("lag"), (s / cnt).alias("cc"), cnt.alias("__n"))
-            .where(F.col("__n") > 0)
-            .drop("__n")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs += [
+            F.sum(F.when(valid, 1).otherwise(0)).alias(f"cnt{n}"),
+            F.sum(F.when(valid, (F.col(col1) - F.col("__m1")) * (y - F.col("__m2")))).alias(f"s{n}"),
+        ]
+    wide = base.groupBy(entity).agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (lag, cnt, s)".format(
+        n=nlags, args=", ".join(f"{n}, cnt{n}, s{n}" for n in range(1, nlags + 1))
+    )
+    return (
+        wide.select(entity, F.expr(stack_expr))
+        .where(F.col("cnt") > 0)
+        .select(entity, "lag", (F.col("s") / F.col("cnt")).alias("cc"))
+    )

@@ -47,15 +47,19 @@ def _lag_sq_diff(
     d = property_channel(df.select(entity, ts, *([tiebreak] if tiebreak else []), token_col),
                          token_col, table, "p")
     w = entity_window(entity, ts, tiebreak)
-    lagged = None
-    for n in range(1, nlag + 1):
-        part = d.select(
-            entity,
-            F.lit(n).alias("lag"),
-            F.pow(F.col("p") - F.lead("p", n).over(w), 2).alias("sq"),
-        ).where(F.col("sq").isNotNull())
-        lagged = part if lagged is None else lagged.unionByName(part)
-    return lagged
+    # all lags from ONE window pass (one sort+exchange), then unpivot with
+    # stack — the per-lag-union form costs nlag scans and nlag shuffles
+    wide = d.select(
+        entity,
+        *[
+            F.pow(F.col("p") - F.lead("p", n).over(w), 2).alias(f"sq{n}")
+            for n in range(1, nlag + 1)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (lag, sq)".format(
+        n=nlag, args=", ".join(f"{n}, sq{n}" for n in range(1, nlag + 1))
+    )
+    return wide.select(entity, F.expr(stack_expr)).where(F.col("sq").isNotNull())
 
 
 def soc_number(
