@@ -308,3 +308,40 @@ def ctriad_minmax(
         entity, "g_a", "g_b", "g_c",
         ((F.col("n") - F.min("n").over(went)) / F.max("n").over(went)).alias("ctriad"),
     )
+
+
+def grouped_window_composition(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    group_map: dict[str, str] | None = None,
+    width: int = 5,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """EGAAC analogue (feature.py:1078-1116): trailing-window composition
+    over the reduced alphabet — XMAP then W-SLIDE (SURVEY.md §2.4)."""
+    from spark_pit.operators.windows import with_window_composition
+
+    gm = group_map or GROUP_MAP_DEFAULT
+    mapping = F.create_map(*[x for k, v in gm.items() for x in (F.lit(k), F.lit(v))])
+    g = df.withColumn("grp", mapping[F.col(token_col)])
+    vocab = sorted(set(gm.values()))
+    return with_window_composition(g, entity, ts, "grp", vocab, width, tiebreak)
+
+
+def grouped_lagk_pair_freq(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    gaps: list[int],
+    group_map: dict[str, str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CKSAAGP analogue (feature.py:1125-1179): k-spaced pair counts over
+    the reduced alphabet — XMAP then the CKSAAP plan (SURVEY.md §2.3)."""
+    gm = group_map or GROUP_MAP_DEFAULT
+    mapping = F.create_map(*[x for k, v in gm.items() for x in (F.lit(k), F.lit(v))])
+    g = df.withColumn("__gtok", mapping[F.col(token_col)])
+    return lagk_pair_freq(g, entity, ts, "__gtok", gaps, tiebreak)

@@ -81,3 +81,34 @@ def shell_composition(
     )
     tot = F.sum("n").over(Window.partitionBy("probe_id", "shell"))
     return counts.withColumn("freq", F.col("n") / tot)
+
+
+def ball_composition(
+    points: DataFrame,
+    probes: DataFrame,
+    entity: str,
+    coord: str,
+    token_col: str,
+    probe_id: str,
+    shell_width: float,
+    n_shells: int,
+) -> DataFrame:
+    """Cumulative-ball variant (AAC_type2, feature.py:4292-4316): shell s
+    counts every point with ``dist < (s+1)*shell_width`` — built as a
+    running sum over the annular counts (one extra window, no second join).
+    Returns (probe_id, entity, shell, token, n, freq)."""
+    annular = shell_composition(
+        points, probes, entity, coord, token_col, probe_id, shell_width, n_shells
+    ).drop("freq")
+    shells = annular.sparkSession.range(n_shells).select(
+        F.col("id").cast("int").alias("ball")
+    )
+    # cumulative: ball b aggregates annular shells 0..b
+    cum = (
+        annular.join(F.broadcast(shells), annular["shell"] <= shells["ball"])
+        .groupBy("probe_id", entity, "ball", token_col)
+        .agg(F.sum("n").alias("n"))
+        .withColumnRenamed("ball", "shell")
+    )
+    tot = F.sum("n").over(Window.partitionBy("probe_id", "shell"))
+    return cum.withColumn("freq", F.col("n") / tot)

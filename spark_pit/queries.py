@@ -795,6 +795,142 @@ FROM ranked WHERE rk <= 5 GROUP BY qid, nlabel
 """
 
 
+# ------------------------------------------------------- ingest / grouped variants
+def q_equal_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.ingest import equal_length_stats
+
+    return equal_length_stats(_ev(spark, sf_dir), "user_id")
+
+
+Q_EQUAL_LENGTH_STATS_SQL = """
+WITH lens AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT min(n) AS min_len, max(n) AS max_len,
+       count(DISTINCT n) AS distinct_lens,
+       count(DISTINCT n) = 1 AS equal_length
+FROM lens
+"""
+
+
+def q_zip_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.ingest import zip_index_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "label")
+    return zip_index_join(docs, emb, "doc_id", "vec_id").select(
+        "doc_id", "n_chars", "vec_id", "label"
+    )
+
+
+Q_ZIP_LABEL_JOIN_SQL = """
+WITH l AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+     r AS (SELECT vec_id, label, row_number() OVER (ORDER BY vec_id) AS rk FROM embeddings)
+SELECT l.doc_id, l.n_chars, r.vec_id, r.label FROM l JOIN r ON l.rk = r.rk
+"""
+
+
+def q_grouped_window_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.pairs import grouped_window_composition
+
+    out = grouped_window_composition(
+        _ev(spark, sf_dir).select("event_id", "user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", width=5, tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("wc_convert", 6).alias("wc_convert"),
+        F.round("wc_engage", 6).alias("wc_engage"),
+        F.round("wc_fault", 6).alias("wc_fault"),
+    )
+
+
+Q_GROUPED_WINDOW_COMPOSITION_SQL = f"""
+WITH g AS (SELECT event_id, user_id, ts, {_GROUP_CASE_SQL} AS grp FROM events)
+SELECT event_id, user_id,
+       round(CAST(sum(CASE WHEN grp = 'convert' THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS wc_convert,
+       round(CAST(sum(CASE WHEN grp = 'engage' THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS wc_engage,
+       round(CAST(sum(CASE WHEN grp = 'fault' THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS wc_fault
+FROM g
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_grouped_kspaced_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.pairs import grouped_lagk_pair_freq
+
+    out = grouped_lagk_pair_freq(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type", gaps=[0, 1], tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "gap", "tok_a", "tok_b", "pair_n",
+        F.round("pair_freq", 6).alias("pair_freq"),
+    )
+
+
+Q_GROUPED_KSPACED_PAIRS_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, {_GROUP_CASE_SQL} AS grp FROM events
+),
+leads AS (
+  SELECT user_id, k.gap AS gap, grp AS tok_a,
+         CASE k.gap WHEN 0 THEN lead(grp, 1) OVER w ELSE lead(grp, 2) OVER w END AS tok_b
+  FROM g CROSS JOIN (VALUES (0), (1)) AS k(gap)
+  WINDOW w AS (PARTITION BY user_id, k.gap ORDER BY ts, event_id)
+),
+cnt AS (
+  SELECT user_id, gap, tok_a, tok_b, count(*) AS pair_n
+  FROM leads WHERE tok_b IS NOT NULL GROUP BY user_id, gap, tok_a, tok_b
+)
+SELECT user_id, gap, tok_a, tok_b, pair_n,
+       round(CAST(pair_n AS DOUBLE)
+             / sum(pair_n) OVER (PARTITION BY user_id, gap), 6) AS pair_freq
+FROM cnt
+"""
+
+
+def q_ball_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_pit.operators.rangejoin import ball_composition
+
+    ev = _ev(spark, sf_dir)
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "value", F.col("event_id").alias("probe_id")
+    )
+    out = ball_composition(
+        ev, probes, entity="user_id", coord="value", token_col="event_type",
+        probe_id="probe_id", shell_width=0.5, n_shells=4,
+    )
+    return out.select(
+        "probe_id", "user_id", "shell", "event_type", "n",
+        F.round("freq", 6).alias("freq"),
+    )
+
+
+Q_BALL_COMPOSITION_SQL = """
+WITH probes AS (
+  SELECT event_id AS probe_id, user_id, value AS qv
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.probe_id, p.user_id, e.event_type, abs(p.qv - e.value) AS d
+  FROM probes p JOIN events e ON p.user_id = e.user_id
+  WHERE abs(p.qv - e.value) < 2.0
+),
+cnt AS (
+  SELECT probe_id, user_id, b.shell AS shell, event_type, count(*) AS n
+  FROM j CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(shell)
+  WHERE d < (b.shell + 1) * 0.5
+  GROUP BY probe_id, user_id, b.shell, event_type
+)
+SELECT probe_id, user_id, shell, event_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY probe_id, shell), 6) AS freq
+FROM cnt
+"""
+
+
 # ------------------------------------------------- embedding / analysis plane
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: iterator-UDF embedding extraction (token-budget batching,
@@ -1420,6 +1556,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax": q_minmax,
     "shell_composition": q_shell_composition,
     "knn_label_fractions": q_knn_label_fractions,
+    "equal_length_stats": q_equal_length_stats,
+    "zip_label_join": q_zip_label_join,
+    "grouped_window_composition": q_grouped_window_composition,
+    "grouped_kspaced_pairs": q_grouped_kspaced_pairs,
+    "ball_composition": q_ball_composition,
     "embed_documents": q_embed_documents,
     "pca_embeddings": q_pca_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -1474,6 +1615,11 @@ ORACLES: dict[str, str] = {
     "minmax": Q_MINMAX_SQL,
     "shell_composition": Q_SHELL_COMPOSITION_SQL,
     "knn_label_fractions": Q_KNN_LABEL_FRACTIONS_SQL,
+    "equal_length_stats": Q_EQUAL_LENGTH_STATS_SQL,
+    "zip_label_join": Q_ZIP_LABEL_JOIN_SQL,
+    "grouped_window_composition": Q_GROUPED_WINDOW_COMPOSITION_SQL,
+    "grouped_kspaced_pairs": Q_GROUPED_KSPACED_PAIRS_SQL,
+    "ball_composition": Q_BALL_COMPOSITION_SQL,
     "channel_correlation": Q_CHANNEL_CORRELATION_SQL,
     # embed_documents, pca_embeddings, kmeans_embeddings: rows-only
     # (hash-projector / eigen-sign / centroid-init not SQL-reproducible)

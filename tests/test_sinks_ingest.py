@@ -1,0 +1,67 @@
+"""Export sinks (§2.1 writers) round-trips + ingest utilities."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_pit import sinks
+from spark_pit.operators.ingest import infer_stream_type
+
+
+def test_csv_tsv_roundtrip(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    for name, writer in (("csv", sinks.write_csv), ("tsv", sinks.write_tsv)):
+        out = str(tmp_path / name)
+        writer(df, out)
+        sep = "\t" if name == "tsv" else ","
+        back = spark.read.option("header", True).option("sep", sep).csv(out)
+        assert back.count() == df.count()
+        assert set(back.columns) == set(df.columns)
+
+
+def test_libsvm_roundtrip(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path / "svm")
+    sinks.write_libsvm(emb, out, "label", "embedding")
+    back = spark.read.format("libsvm").load(out)
+    assert back.count() == emb.count()
+    assert set(back.columns) == {"label", "features"}
+
+
+def test_arff_layout(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    ).limit(50)
+    out = str(tmp_path / "arff")
+    sinks.write_arff(df, out, relation="events")
+    header = open(os.path.join(out, "_arff_header")).read()
+    assert "@relation events" in header
+    assert "@attribute value numeric" in header
+    data = spark.read.text(os.path.join(out, "data"))
+    assert data.count() == 50
+
+
+def test_embedding_sink(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = str(tmp_path / "emb")
+    sinks.write_embeddings(emb, out, "vec_id", "embedding")
+    back = spark.read.parquet(out)
+    assert back.count() == emb.count()
+    assert back.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
+def test_infer_stream_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vocabs = {
+        "web-events": {"click", "error", "purchase", "signup", "view"},
+        "dna": {"A", "C", "G", "T"},
+    }
+    assert infer_stream_type(ev, "event_type", vocabs) == "web-events"
+    dna = spark.createDataFrame([("A",), ("G",)], ["event_type"])
+    assert infer_stream_type(dna, "event_type", vocabs) == "dna"
+    other = spark.createDataFrame([("Z",)], ["event_type"])
+    assert infer_stream_type(other, "event_type", vocabs) == "unknown"
