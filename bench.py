@@ -48,7 +48,7 @@ def main() -> None:
     # (each replica gets a disjoint user_id range, preserving per-entity
     # timeline shape) so the scaling bench measures compute, not fixed
     # startup overhead. Default 1 = the raw sf table.
-    repl = int(os.environ.get("SPARK_GRAFT_REPL", "1"))
+    repl = int(os.environ.get("SPARK_GRAFT_REPL", "8"))
 
     def _events(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
