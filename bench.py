@@ -41,14 +41,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    n_events = ev.count() * int(os.environ.get("SPARK_GRAFT_REPL", "1"))
-
     # SPARK_GRAFT_REPL=N deterministically amplifies the flagship input N×
     # (each replica gets a disjoint user_id range, preserving per-entity
-    # timeline shape) so the scaling bench measures compute, not fixed
-    # startup overhead. Default 1 = the raw sf table.
+    # timeline shape) so the flagship rows/sec measures kernel compute, not
+    # fixed stage overhead. Default 8 ≈ the compute-dominated regime at sf0.1.
     repl = int(os.environ.get("SPARK_GRAFT_REPL", "8"))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count() * repl
 
     def _events(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -170,35 +170,71 @@ def all_pair_counts_kernel(
     The naive plan is an O(L^2) self-join per entity; at scale that shuffle
     explodes, so this uses the suffix-count identity
         count(a,b) = sum_j [x_j = a] * |{k > j : x_k = b}|
-    as a vectorized reverse-cumsum kernel inside one applyInPandas pass
-    (SURVEY.md §2.2 ASDC row). Output long: (entity, tok_a, tok_b, asdc_freq).
+    as a vectorized reverse-cumsum kernel. Entities are hash-bucketed
+    (`pmod(xxhash64(entity), B)`) and each task processes a whole bucket
+    segment-vectorized — per-row contributions `outer(onehot_j, suffix_j)`
+    accumulate into per-segment (V x V) count blocks via `np.add.at`, in
+    bounded row slices so memory stays O(slice x V^2) regardless of bucket
+    size (SURVEY.md §2.2 ASDC row). Output long:
+    (entity, tok_a, tok_b, asdc_freq).
     """
     code = {t: i for i, t in enumerate(vocab)}
     V = len(vocab)
+    num_buckets = 64
+    slice_rows = 16384
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="stable")
+        pdf = pdf.sort_values([entity, ts], kind="stable").reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(columns=[entity, "tok_a", "tok_b", "asdc_freq"])
         codes = pdf[token_col].map(code).fillna(-1).to_numpy(dtype=np.int64)
-        n = len(codes)
+        ids = pdf[entity].to_numpy()
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = ids[1:] != ids[:-1]
+        seg = np.cumsum(new_seg) - 1  # 0-based segment index per row
+        n_seg = int(seg[-1]) + 1
+        seg_starts = np.flatnonzero(new_seg)
+
         onehot = np.zeros((n, V), dtype=np.int64)
         valid = codes >= 0
         onehot[np.arange(n)[valid], codes[valid]] = 1
-        # suffix[j, b] = #{k > j : x_k = b}
-        suffix = onehot[::-1].cumsum(axis=0)[::-1] - onehot
-        counts = onehot.T @ suffix  # (a, b) -> sum_j [x_j=a] * suffix[j, b]
-        total = counts.sum()
-        eid = pdf[entity].iloc[0]
-        recs = [
-            (eid, vocab[a], vocab[b], counts[a, b] / total if total else 0.0)
-            for a in range(V)
-            for b in range(V)
-            if counts[a, b] > 0
-        ]
-        return pd.DataFrame(recs, columns=[entity, "tok_a", "tok_b", "asdc_freq"])
+        # rc[j] = column sums over k >= j (whole bucket)
+        rc = onehot[::-1].cumsum(axis=0)[::-1]
+        # subtract the part belonging to later segments + self
+        ends = np.append(seg_starts[1:], n)  # exclusive end per segment
+        rc_pad = np.vstack([rc, np.zeros((1, V), dtype=np.int64)])
+        after_seg = rc_pad[ends][seg]  # per row: rc at its segment's end
+        suffix = rc - onehot - after_seg
+
+        acc = np.zeros((n_seg, V, V), dtype=np.int64)
+        for s in range(0, n, slice_rows):
+            e = min(s + slice_rows, n)
+            contrib = onehot[s:e, :, None] * suffix[s:e, None, :]
+            np.add.at(acc, seg[s:e], contrib)
+        totals = acc.sum(axis=(1, 2)).astype(np.float64)
+        si, a, b = np.nonzero(acc)
+        vals = acc[si, a, b] / totals[si]
+        va = np.asarray(vocab)
+        return pd.DataFrame(
+            {
+                entity: ids[seg_starts][si],
+                "tok_a": va[a],
+                "tok_b": va[b],
+                "asdc_freq": vals,
+            }
+        )
 
     ent_type = df.schema[entity].dataType.simpleString()
     out_schema = f"{entity} {ent_type}, tok_a string, tok_b string, asdc_freq double"
-    return df.select(entity, ts, token_col).groupBy(entity).applyInPandas(kern, out_schema)
+    bkt = F.pmod(F.xxhash64(F.col(entity)), F.lit(num_buckets)).cast("int")
+    return (
+        df.select(entity, ts, token_col)
+        .withColumn("__b", bkt)
+        .groupBy("__b")
+        .applyInPandas(kern, out_schema)
+    )
 
 
 GROUP_MAP_DEFAULT = {
