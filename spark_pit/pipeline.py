@@ -1,0 +1,61 @@
+"""The north-rule flagship composed end-to-end over the image+caption table
+(input_hint schema: image_id, bytes, w, h, fmt, caption, phash + event_ts).
+
+Channel derivation happens BEFORE any shuffle and projects `bytes` away
+(SURVEY.md §7 hard point 3: the ~MB-scale binary column must never ride an
+exchange; Catalyst column pruning then keeps it out of the scan entirely —
+verified by tools/explain_audit.py ReadSchema):
+
+- phash_pop   = popcount(phash)            (pHash-derived numeric, JVM bit_count)
+- caption_len = length(caption)            (caption feature)
+- aspect      = w / h                      (shape stat)
+- fmt         = the token channel
+
+The fused bucketed PIT kernel then emits leakage-free as-of matches,
+lag/lead, session ids, backfill, rolling mean and trailing fmt-composition
+per (image_id, event_ts). Golden-fixture parity for this exact pipeline is
+pinned in tests/golden/ (north rule: "golden feature-table fixtures").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_pit.operators.pit import pit_features_bucketed
+
+FMT_VOCAB = ["gif", "jpeg", "png", "webp"]
+
+
+def image_channels(images: DataFrame) -> DataFrame:
+    """Derive numeric/token channels; `bytes` is pruned here, pre-shuffle."""
+    return images.select(
+        "image_id",
+        "event_ts",
+        F.bit_count("phash").cast("double").alias("phash_pop"),
+        F.length("caption").cast("double").alias("caption_len"),
+        (F.col("w") / F.col("h")).alias("aspect"),
+        "fmt",
+    )
+
+
+def image_pit_features(
+    images: DataFrame,
+    snapshots: DataFrame,
+    gap_seconds: int = 7200,
+    width: int = 5,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Per (image_id, event_ts): as-of snapshot match + windowed features on
+    the phash channel + trailing fmt composition, plus the caption/aspect
+    channels carried through."""
+    ch = image_channels(images)
+    snaps = snapshots.select("image_id", "snapshot_ts", "snapshot_id")
+    fused = pit_features_bucketed(
+        ch, snaps,
+        entity="image_id", ts="event_ts",
+        numeric_col="phash_pop", token_col="fmt", vocab=FMT_VOCAB,
+        gap_seconds=gap_seconds, width=width, num_buckets=num_buckets,
+    )
+    extra = ch.select("image_id", "event_ts", "caption_len", "aspect")
+    return fused.join(extra, ["image_id", "event_ts"])

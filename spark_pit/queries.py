@@ -932,6 +932,18 @@ FROM cnt
 
 
 # ------------------------------------------------- embedding / analysis plane
+def q_image_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the north-rule flagship over the synthetic image+caption
+    table (input_hint schema) — golden-fixture-pinned in tests/test_golden;
+    datagen input is not among the DuckDB oracle views."""
+    from spark_pit.datagen import images_table, snapshots_table
+    from spark_pit.pipeline import image_pit_features
+
+    images = images_table(spark, n_entities=40, n_rows=600, seed=42)
+    snaps = snapshots_table(spark, n_entities=40, snaps_per_entity=8, seed=42)
+    return image_pit_features(images, snaps, num_buckets=8)
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: iterator-UDF embedding extraction (token-budget batching,
     model-once-per-worker) — §2.10 notebook pipeline analogue."""
@@ -1561,6 +1573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_window_composition": q_grouped_window_composition,
     "grouped_kspaced_pairs": q_grouped_kspaced_pairs,
     "ball_composition": q_ball_composition,
+    "image_pit": q_image_pit,
     "embed_documents": q_embed_documents,
     "pca_embeddings": q_pca_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,

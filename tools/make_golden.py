@@ -1,0 +1,46 @@
+"""Generate the golden feature-table fixtures (north rule: engine output
+must match "the repo's golden feature-table fixtures" via numpy allclose).
+
+Freezes the image-table flagship (spark_pit.pipeline.image_pit_features over
+the deterministic seed-42 synthetic table) as a single parquet under
+tests/golden/. Regenerate ONLY when the pipeline semantics intentionally
+change; the diff then documents the semantic change."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "tests", "golden")
+
+PARAMS = dict(n_entities=40, n_rows=600, seed=42)
+SNAP_PARAMS = dict(n_entities=40, snaps_per_entity=8, seed=42)
+
+
+def build(spark):
+    from spark_pit.datagen import images_table, snapshots_table
+    from spark_pit.pipeline import image_pit_features
+
+    images = images_table(spark, **PARAMS)
+    snaps = snapshots_table(spark, **SNAP_PARAMS)
+    return image_pit_features(images, snaps, num_buckets=8)
+
+
+def main() -> None:
+    from spark_pit.session import get_spark
+
+    spark = get_spark(app_name="make_golden", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(GOLDEN, exist_ok=True)
+    out = build(spark).orderBy("image_id", "event_ts").toPandas()
+    path = os.path.join(GOLDEN, "image_pit.parquet")
+    out.to_parquet(path, index=False)
+    print(f"{path}: {len(out)} rows, {len(out.columns)} cols")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
