@@ -158,3 +158,38 @@ def knn_label_fractions(
     return topk.groupBy("qid", "nlabel").agg(
         (F.count(F.lit(1)) / F.lit(float(k))).alias("frac")
     )
+
+
+def ann_mllib_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 1.2,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SURVEY.md §7 step 9: the MLlib answer to KNN-at-scale —
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin`` (euclidean).
+    Returns candidate pairs (qid, nid, dist) with dist < threshold,
+    qid < nid (dedup of symmetric pairs)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col), array_to_vector(_as_double(vec_col)).alias("__features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features", outputCol="__hashes",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=seed,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, threshold, distCol="dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("qid"),
+            F.col(f"datasetB.{id_col}").alias("nid"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .where(F.col("qid") < F.col("nid"))
+    )

@@ -931,6 +931,68 @@ FROM cnt
 """
 
 
+def q_contact_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 network descriptor (non-iterative slice): epsilon-graph over each
+    user's events (edge iff |value diff| <= 0.3), per-graph degree/triangle
+    stats via banded self-join + edge-edge-edge triangle join."""
+    from spark_pit.operators.graph import contact_edges, graph_stats
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "value")
+    edges = contact_edges(ev, "user_id", "event_id", "value", cutoff=0.3)
+    out = graph_stats(edges, "user_id")
+    return out.select(
+        "user_id", "n_nodes", "max_degree",
+        F.round("avg_degree", 6).alias("avg_degree"),
+        "n_edges", "n_triangles",
+        F.round("clustering_coeff", 6).alias("clustering_coeff"),
+    )
+
+
+Q_CONTACT_GRAPH_STATS_SQL = """
+WITH edges AS (
+  SELECT e1.user_id, e1.event_id AS a, e2.event_id AS b
+  FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+  WHERE e1.event_id < e2.event_id AND abs(e1.value - e2.value) <= 0.3
+),
+deg AS (
+  SELECT user_id, n, count(*) AS deg FROM (
+    SELECT user_id, a AS n FROM edges UNION ALL SELECT user_id, b AS n FROM edges
+  ) GROUP BY user_id, n
+),
+pe AS (
+  SELECT user_id, count(*) AS n_nodes, max(deg) AS max_degree,
+         avg(deg) AS avg_degree, sum(deg * (deg - 1) / 2.0) AS n_triads
+  FROM deg GROUP BY user_id
+),
+ne AS (SELECT user_id, count(*) AS n_edges FROM edges GROUP BY user_id),
+tri AS (
+  SELECT e1.user_id, count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.user_id = e2.user_id AND e2.a = e1.b
+  JOIN edges e3 ON e1.user_id = e3.user_id AND e3.a = e1.a AND e3.b = e2.b
+  GROUP BY e1.user_id
+)
+SELECT pe.user_id, pe.n_nodes, pe.max_degree,
+       round(pe.avg_degree, 6) AS avg_degree,
+       ne.n_edges, coalesce(tri.n_triangles, 0) AS n_triangles,
+       round(CASE WHEN pe.n_triads > 0
+             THEN 3.0 * coalesce(tri.n_triangles, 0) / pe.n_triads
+             ELSE 0.0 END, 6) AS clustering_coeff
+FROM pe
+JOIN ne ON pe.user_id = ne.user_id
+LEFT JOIN tri ON pe.user_id = tri.user_id
+"""
+
+
+def q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib BucketedRandomProjectionLSH approxSimilarityJoin
+    (random projections not SQL-reproducible)."""
+    from spark_pit.operators.similarity import ann_mllib_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_mllib_lsh(emb, "vec_id", "embedding", threshold=1.2)
+
+
 # ------------------------------------------------- embedding / analysis plane
 def q_image_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the north-rule flagship over the synthetic image+caption
@@ -1573,6 +1635,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_window_composition": q_grouped_window_composition,
     "grouped_kspaced_pairs": q_grouped_kspaced_pairs,
     "ball_composition": q_ball_composition,
+    "contact_graph_stats": q_contact_graph_stats,
+    "ann_mllib_lsh": q_ann_mllib_lsh,
     "image_pit": q_image_pit,
     "embed_documents": q_embed_documents,
     "pca_embeddings": q_pca_embeddings,
@@ -1633,6 +1697,7 @@ ORACLES: dict[str, str] = {
     "grouped_window_composition": Q_GROUPED_WINDOW_COMPOSITION_SQL,
     "grouped_kspaced_pairs": Q_GROUPED_KSPACED_PAIRS_SQL,
     "ball_composition": Q_BALL_COMPOSITION_SQL,
+    "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "channel_correlation": Q_CHANNEL_CORRELATION_SQL,
     # embed_documents, pca_embeddings, kmeans_embeddings: rows-only
     # (hash-projector / eigen-sign / centroid-init not SQL-reproducible)
