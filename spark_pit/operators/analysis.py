@@ -65,3 +65,71 @@ def channel_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
             )
             pairs = row if pairs is None else pairs.unionByName(row)
     return pairs
+
+
+def mcl_clusters(
+    edges: DataFrame,
+    src: str = "i",
+    dst: str = "j",
+    weight: str = "v",
+    inflation: float = 2.0,
+    max_iter: int = 12,
+    prune: float = 1e-4,
+    tol: float = 1e-5,
+) -> DataFrame:
+    """Markov clustering (MarkvCluster, feature.py:5083-5154) as sparse COO
+    DataFrame iterations — the distributed re-expression of the reference's
+    dense numpy expand/inflate loop:
+
+    - expand  = M @ M  → join on the contraction index + groupBy sum
+      (shuffle-partitioned on the key; pruning keeps the matrix sparse so
+      the join stays far below the dense N^3)
+    - inflate = elementwise v^r then column re-normalization (groupBy sum +
+      join-divide)
+    - converge on max |delta| (full-outer join) or max_iter; each iteration
+      localCheckpoints to truncate lineage (driver loop over a bounded
+      iteration count — the canonical Spark shape for iterative algorithms)
+
+    Input: symmetric weighted edge list (i, j, v>=0); self-loops are added
+    (MCL requirement). Output: (node, cluster) with cluster = min attractor
+    row over the node's column — deterministic.
+    """
+    spark = edges.sparkSession
+    m = edges.select(
+        F.col(src).alias("i"), F.col(dst).alias("j"), F.col(weight).cast("double").alias("v")
+    )
+    nodes = m.select(F.col("i").alias("n")).union(m.select("j")).distinct()
+    loops = nodes.select(F.col("n").alias("i"), F.col("n").alias("j"), F.lit(1.0).alias("v"))
+    m = m.where(F.col("v") > 0).unionByName(loops).groupBy("i", "j").agg(F.max("v").alias("v"))
+
+    def colnorm(mm: DataFrame) -> DataFrame:
+        tot = mm.groupBy("j").agg(F.sum("v").alias("__t"))
+        return mm.join(tot, "j").select("i", "j", (F.col("v") / F.col("__t")).alias("v"))
+
+    cur = colnorm(m).localCheckpoint()
+    for _ in range(max_iter):
+        a = cur.select(F.col("i"), F.col("j").alias("k"), F.col("v").alias("va"))
+        b = cur.select(F.col("i").alias("k"), F.col("j"), F.col("v").alias("vb"))
+        sq = (
+            a.join(b, "k")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("v"))
+        )
+        infl = sq.select("i", "j", F.pow("v", inflation).alias("v"))
+        nxt = colnorm(infl).where(F.col("v") > prune)
+        nxt = colnorm(nxt).localCheckpoint()  # renormalize after pruning
+        delta = (
+            nxt.select("i", "j", F.col("v").alias("vn"))
+            .join(cur.select("i", "j", F.col("v").alias("vo")), ["i", "j"], "full_outer")
+            .select(
+                F.abs(F.coalesce("vn", F.lit(0.0)) - F.coalesce("vo", F.lit(0.0))).alias("d")
+            )
+            .agg(F.max("d"))
+            .first()[0]
+        )
+        cur = nxt
+        if delta is not None and delta < tol:
+            break
+    return cur.groupBy("j").agg(F.min("i").alias("cluster")).select(
+        F.col("j").alias("node"), "cluster"
+    )
