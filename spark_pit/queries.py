@@ -994,6 +994,23 @@ def q_ann_mllib_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- embedding / analysis plane
+def q_image_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-fmt fidelity pass rates over the synthetic payload
+    table — the north metric's "PSNR>=40dB pixel fidelity pass rate"
+    aggregate (exact PSNR values are asserted in tests/test_codecs against
+    known original pixels)."""
+    from spark_pit.datagen import images_table
+    from spark_pit.operators.images import fidelity_check
+
+    imgs = images_table(spark, n_entities=50, n_rows=500, seed=42)
+    out = fidelity_check(imgs)
+    return out.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("decode_ok").cast("double")).alias("decode_ok_rate"),
+        F.avg(F.col("reencode_exact").cast("double")).alias("roundtrip_exact_rate"),
+    )
+
+
 def q_image_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the north-rule flagship over the synthetic image+caption
     table (input_hint schema) — golden-fixture-pinned in tests/test_golden;
@@ -1638,6 +1655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contact_graph_stats": q_contact_graph_stats,
     "ann_mllib_lsh": q_ann_mllib_lsh,
     "image_pit": q_image_pit,
+    "image_fidelity": q_image_fidelity,
     "embed_documents": q_embed_documents,
     "pca_embeddings": q_pca_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,
