@@ -165,3 +165,35 @@ def snapshots_table(
             sid += 1
     pdf = pd.DataFrame(rows, columns=["image_id", "snapshot_ts", "snap_vec", "snapshot_id"])
     return spark.createDataFrame(pdf, schema=SNAPSHOTS_SCHEMA)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: write images.parquet + snapshots.parquet for the spark-submit
+    image-pipeline path (`python -m spark_pit.datagen --out DIR`)."""
+    import argparse
+
+    from spark_pit.session import get_spark
+
+    ap = argparse.ArgumentParser(description="deterministic image+caption datagen")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--entities", type=int, default=100)
+    ap.add_argument("--rows", type=int, default=2000)
+    ap.add_argument("--snaps-per-entity", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="spark_pit_datagen", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    images_table(spark, n_entities=args.entities, n_rows=args.rows, seed=args.seed).write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/images.parquet")
+    snapshots_table(
+        spark, n_entities=args.entities, snaps_per_entity=args.snaps_per_entity, seed=args.seed
+    ).write.mode("overwrite").parquet(f"{args.out}/snapshots.parquet")
+    print(f"{args.out}: images + snapshots written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lineage tag recorded in the manifest")
     p.add_argument("--master", default=None,
                    help="only for local runs without spark-submit")
+    p.add_argument("--table-kind", choices=["events", "image"], default="events",
+                   help="'image' = the north-rule image+caption pipeline "
+                        "(--events points at images.parquet, --snapshots "
+                        "at the snapshot stream; see spark_pit.datagen CLI)")
     return p
 
 
@@ -61,30 +65,42 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     from spark_pit import manifest
     from spark_pit.operators.skew import pit_features_salted
 
-    vocab = [v for v in args.vocab.split(",") if v]
-    ev = spark.read.parquet(args.events)
-    if args.snapshots:
-        snaps = spark.read.parquet(args.snapshots)
-    else:
-        snaps = ev.where(F.col(args.token_col) == "purchase").select(
-            args.entity,
-            F.col(args.ts).alias("snapshot_ts"),
-            F.col(args.tiebreak).alias("snapshot_id"),
-        )
-
     t0 = time.perf_counter()
-    feats = pit_features_salted(
-        ev, snaps,
-        entity=args.entity, ts=args.ts,
-        numeric_col=args.numeric_col, token_col=args.token_col, vocab=vocab,
-        gap_seconds=args.gap_seconds, width=args.width,
-        chunk_seconds=args.chunk_seconds,
-        hot_threshold=args.hot_threshold,
-        hot_ids=None if args.hot_threshold is not None else [],
-        tiebreak=args.tiebreak or None,
-    )
+    if args.table_kind == "image":
+        from spark_pit.pipeline import image_pit_features
+
+        images = spark.read.parquet(args.events)
+        if not args.snapshots:
+            raise SystemExit("--table-kind image requires --snapshots")
+        snaps = spark.read.parquet(args.snapshots)
+        feats = image_pit_features(
+            images, snaps, gap_seconds=args.gap_seconds, width=args.width
+        )
+        entity = "image_id"
+    else:
+        vocab = [v for v in args.vocab.split(",") if v]
+        ev = spark.read.parquet(args.events)
+        if args.snapshots:
+            snaps = spark.read.parquet(args.snapshots)
+        else:
+            snaps = ev.where(F.col(args.token_col) == "purchase").select(
+                args.entity,
+                F.col(args.ts).alias("snapshot_ts"),
+                F.col(args.tiebreak).alias("snapshot_id"),
+            )
+        feats = pit_features_salted(
+            ev, snaps,
+            entity=args.entity, ts=args.ts,
+            numeric_col=args.numeric_col, token_col=args.token_col, vocab=vocab,
+            gap_seconds=args.gap_seconds, width=args.width,
+            chunk_seconds=args.chunk_seconds,
+            hot_threshold=args.hot_threshold,
+            hot_ids=None if args.hot_threshold is not None else [],
+            tiebreak=args.tiebreak or None,
+        )
+        entity = args.entity
     summary = manifest.write_checkpointed(
-        feats, args.out, entity=args.entity,
+        feats, args.out, entity=entity,
         num_parts=args.num_parts, parts_per_batch=args.parts_per_batch,
         input_snapshot=args.input_snapshot or args.events,
     )
