@@ -38,51 +38,67 @@ def autocorr_long(
     """
     w = entity_window(entity, ts, tiebreak)
     ent_stats = Window.partitionBy(entity)
+    # Cross-engine determinism: the input is quantized ONCE to
+    # decimal(18,6) (a binary double is never exactly on a decimal rounding
+    # boundary, so Spark and DuckDB quantize identically), every sum is then
+    # EXACT decimal arithmetic (order-independent), and all final formulas
+    # run in double over bit-identical inputs. Centered statistics use the
+    # algebraic forms (sum(xy) - m*Sx - m*Sy + n*m^2 etc.) so the mean never
+    # enters a data-length summation. Without this, float partial-sum order
+    # diverged from the oracle at sf0.1.
+    xd = F.col(value_col).cast("decimal(18,6)")
     base = (
         df.select(entity, ts, *( [tiebreak] if tiebreak else [] ), value_col)
-        .withColumn("__m", F.avg(value_col).over(ent_stats))
-        .withColumn("__L", F.count(F.lit(1)).over(ent_stats))
-        .withColumn(
-            "__ss",
-            F.sum((F.col(value_col) - F.col("__m")) * (F.col(value_col) - F.col("__m"))).over(
-                ent_stats
-            ),
-        )
+        .withColumn("__x", xd)
+        .withColumn("__L", F.count("__x").over(ent_stats))
+        .withColumn("__sx", F.sum("__x").over(ent_stats).cast("double"))
+        .withColumn("__sxx", F.sum(F.col("__x") * F.col("__x")).over(ent_stats).cast("double"))
     )
     for n in range(1, nlags + 1):
-        base = base.withColumn(f"__lead{n}", F.lead(value_col, n).over(w))
+        base = base.withColumn(f"__lead{n}", F.lead("__x", n).over(w))
 
-    # ONE aggregation carrying every lag's partial sums (the per-lag-union
-    # form recomputes base once per lag — nlags shuffles), then stack-unpivot
-    # and finish the arithmetic per row.
-    x = F.col(value_col)
-    aggs = [F.first("__L").alias("L"), F.first("__ss").alias("ss")]
+    aggs = [
+        F.first("__L").alias("L"),
+        F.first("__sx").alias("sx_all"),
+        F.first("__sxx").alias("sxx_all"),
+    ]
+    x = F.col("__x")
     for n in range(1, nlags + 1):
         y = F.col(f"__lead{n}")
-        valid = y.isNotNull()
+        valid = y.isNotNull() & x.isNotNull()
         aggs += [
             F.sum(F.when(valid, 1).otherwise(0)).alias(f"cnt{n}"),
-            F.sum(F.when(valid, x * y)).alias(f"xy{n}"),
-            F.sum(F.when(valid, (x - F.col("__m")) * (y - F.col("__m")))).alias(f"cov{n}"),
-            F.sum(F.when(valid, (x - y) * (x - y))).alias(f"sqd{n}"),
+            F.sum(F.when(valid, x)).cast("double").alias(f"px{n}"),
+            F.sum(F.when(valid, y)).cast("double").alias(f"py{n}"),
+            F.sum(F.when(valid, x * y)).cast("double").alias(f"xy{n}"),
+            F.sum(F.when(valid, x * x)).cast("double").alias(f"pxx{n}"),
+            F.sum(F.when(valid, y * y)).cast("double").alias(f"pyy{n}"),
         ]
     wide = base.groupBy(entity).agg(*aggs)
-    stack_expr = "stack({n}, {args}) as (lag, cnt, xy, cov, sqd)".format(
+    stack_expr = "stack({n}, {args}) as (lag, cnt, px, py, xy, pxx, pyy)".format(
         n=nlags,
-        args=", ".join(f"{n}, cnt{n}, xy{n}, cov{n}, sqd{n}" for n in range(1, nlags + 1)),
+        args=", ".join(
+            f"{n}, cnt{n}, px{n}, py{n}, xy{n}, pxx{n}, pyy{n}"
+            for n in range(1, nlags + 1)
+        ),
     )
-    long = wide.select(entity, "L", "ss", F.expr(stack_expr)).where(F.col("cnt") > 0)
-    ss = F.col("ss")
-    cnt = F.col("cnt")
+    long = wide.select(entity, "L", "sx_all", "sxx_all", F.expr(stack_expr)).where(
+        F.col("cnt") > 0
+    )
     L = F.col("L")
+    cnt = F.col("cnt")
+    m = F.col("sx_all") / L
+    ss = F.col("sxx_all") - L * m * m
+    cov = F.col("xy") - m * F.col("py") - m * F.col("px") + cnt * m * m
+    sqd = F.col("pxx") + F.col("pyy") - 2 * F.col("xy")
     return long.select(
         entity,
         "lag",
         (F.col("xy") / cnt).alias("nmbroto"),
-        (F.col("cov") / cnt).alias("ac"),
-        F.when(ss > 0, (F.col("cov") / cnt) / (ss / L)).alias("moran"),
-        F.when(ss > 0, (L - 1) / (2.0 * cnt) * F.col("sqd") / ss).alias("geary"),
-        (F.col("sqd") / cnt).alias("soc"),
+        (cov / cnt).alias("ac"),
+        F.when(ss > 0, (cov / cnt) / (ss / L)).alias("moran"),
+        F.when(ss > 0, (L - 1) / (2.0 * cnt) * sqd / ss).alias("geary"),
+        (sqd / cnt).alias("soc"),
     )
 
 
@@ -97,30 +113,40 @@ def cross_cov_long(
 ) -> DataFrame:
     """CC analogue (feature.py:1670-1721): cross-covariance of two numeric
     channels at lags 1..nlags: sum((x1_j - m1)(x2_{j+n} - m2)) / (L-n).
-    Output (entity, lag, cc)."""
+    Output (entity, lag, cc).
+
+    Cross-engine determinism (same scheme as autocorr_long): both channels
+    quantized once to decimal(18,6), all sums exact decimal, centered form
+    expanded algebraically so the means never enter a data-length sum."""
     w = entity_window(entity, ts, tiebreak)
     ent = Window.partitionBy(entity)
     base = (
         df.select(entity, ts, *([tiebreak] if tiebreak else []), col1, col2)
-        .withColumn("__m1", F.avg(col1).over(ent))
-        .withColumn("__m2", F.avg(col2).over(ent))
+        .withColumn("__a", F.col(col1).cast("decimal(18,6)"))
+        .withColumn("__b", F.col(col2).cast("decimal(18,6)"))
+        .withColumn("__L", F.count(F.lit(1)).over(ent))
+        .withColumn("__sa", F.sum("__a").over(ent).cast("double"))
+        .withColumn("__sb", F.sum("__b").over(ent).cast("double"))
     )
     for n in range(1, nlags + 1):
-        base = base.withColumn(f"__lead{n}", F.lead(col2, n).over(w))
-    aggs = []
+        base = base.withColumn(f"__lead{n}", F.lead("__b", n).over(w))
+    a = F.col("__a")
+    aggs = [F.first("__L").alias("L"), F.first("__sa").alias("sa"), F.first("__sb").alias("sb")]
     for n in range(1, nlags + 1):
         y = F.col(f"__lead{n}")
-        valid = y.isNotNull()
+        valid = a.isNotNull() & y.isNotNull()
         aggs += [
             F.sum(F.when(valid, 1).otherwise(0)).alias(f"cnt{n}"),
-            F.sum(F.when(valid, (F.col(col1) - F.col("__m1")) * (y - F.col("__m2")))).alias(f"s{n}"),
+            F.sum(F.when(valid, a)).cast("double").alias(f"pa{n}"),
+            F.sum(F.when(valid, y)).cast("double").alias(f"pb{n}"),
+            F.sum(F.when(valid, a * y)).cast("double").alias(f"ab{n}"),
         ]
     wide = base.groupBy(entity).agg(*aggs)
-    stack_expr = "stack({n}, {args}) as (lag, cnt, s)".format(
-        n=nlags, args=", ".join(f"{n}, cnt{n}, s{n}" for n in range(1, nlags + 1))
+    stack_expr = "stack({n}, {args}) as (lag, cnt, pa, pb, ab)".format(
+        n=nlags, args=", ".join(f"{n}, cnt{n}, pa{n}, pb{n}, ab{n}" for n in range(1, nlags + 1))
     )
-    return (
-        wide.select(entity, F.expr(stack_expr))
-        .where(F.col("cnt") > 0)
-        .select(entity, "lag", (F.col("s") / F.col("cnt")).alias("cc"))
-    )
+    long = wide.select(entity, "L", "sa", "sb", F.expr(stack_expr)).where(F.col("cnt") > 0)
+    m1 = F.col("sa") / F.col("L")
+    m2 = F.col("sb") / F.col("L")
+    cc = (F.col("ab") - m1 * F.col("pb") - m2 * F.col("pa") + F.col("cnt") * m1 * m2) / F.col("cnt")
+    return long.select(entity, "lag", cc.alias("cc"))

@@ -1081,88 +1081,102 @@ SELECT 'sec_of_day', 'props_len', round(corr(sec_of_day, props_len), 5) FROM ch
 def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     out = autocorr.autocorr_long(ev, "user_id", "ts", "value", nlags=3, tiebreak="event_id")
-    return out.select(
-        "user_id", "lag",
-        F.round("nmbroto", 4).alias("nmbroto"),
-        F.round("ac", 4).alias("ac"),
-        F.round("moran", 4).alias("moran"),
-        F.round("geary", 4).alias("geary"),
-        F.round("soc", 4).alias("soc"),
-    )
+    # no rounding: the exact-decimal-sum rework makes every input to the
+    # final double arithmetic bit-identical across engines, so the raw
+    # doubles hash equal; round() itself is engine-divergent on .5 ties
+    return out.select("user_id", "lag", "nmbroto", "ac", "moran", "geary", "soc")
 
 
 Q_AUTOCORR_SQL = """
-WITH mstats AS (
-  SELECT user_id, avg(value) AS m, count(*) AS L FROM events GROUP BY user_id
+WITH q AS (
+  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,6)) AS x FROM events
 ),
-sstats AS (
-  SELECT e.user_id, sum((e.value - t.m) * (e.value - t.m)) AS ss
-  FROM events e JOIN mstats t ON e.user_id = t.user_id
-  GROUP BY e.user_id
+ent AS (
+  SELECT user_id, count(x) AS L,
+         CAST(sum(x) AS DOUBLE) AS sx_all,
+         CAST(sum(x * x) AS DOUBLE) AS sxx_all
+  FROM q GROUP BY user_id
 ),
 led AS (
-  SELECT e.user_id, e.value, t.m, t.L, s.ss, n.lag AS lag,
+  SELECT q.user_id, q.x, n.lag AS lag,
          CASE n.lag
-           WHEN 1 THEN lead(e.value, 1) OVER w
-           WHEN 2 THEN lead(e.value, 2) OVER w
-           ELSE        lead(e.value, 3) OVER w
+           WHEN 1 THEN lead(q.x, 1) OVER w
+           WHEN 2 THEN lead(q.x, 2) OVER w
+           ELSE        lead(q.x, 3) OVER w
          END AS y
-  FROM events e
-  JOIN mstats t ON e.user_id = t.user_id
-  JOIN sstats s ON e.user_id = s.user_id
-  CROSS JOIN (VALUES (1), (2), (3)) AS n(lag)
-  WINDOW w AS (PARTITION BY e.user_id, n.lag ORDER BY e.ts, e.event_id)
+  FROM q CROSS JOIN (VALUES (1), (2), (3)) AS n(lag)
+  WINDOW w AS (PARTITION BY q.user_id, n.lag ORDER BY q.ts, q.event_id)
+),
+agg AS (
+  SELECT user_id, lag,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS cnt,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS DOUBLE) AS px,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS DOUBLE) AS py,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * y END) AS DOUBLE) AS xy,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * x END) AS DOUBLE) AS pxx,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y * y END) AS DOUBLE) AS pyy
+  FROM led GROUP BY user_id, lag
 )
-SELECT user_id, lag,
-       round(sum(CASE WHEN y IS NOT NULL THEN value * y END)
-             / sum(CASE WHEN y IS NOT NULL THEN 1 END), 4) AS nmbroto,
-       round(sum(CASE WHEN y IS NOT NULL THEN (value - m) * (y - m) END)
-             / sum(CASE WHEN y IS NOT NULL THEN 1 END), 4) AS ac,
-       round(CASE WHEN any_value(ss) > 0 THEN
-         (sum(CASE WHEN y IS NOT NULL THEN (value - m) * (y - m) END)
-          / sum(CASE WHEN y IS NOT NULL THEN 1 END))
-         / (any_value(ss) / any_value(L)) END, 4) AS moran,
-       round(CASE WHEN any_value(ss) > 0 THEN
-         (any_value(L) - 1) / (2.0 * sum(CASE WHEN y IS NOT NULL THEN 1 END))
-         * sum(CASE WHEN y IS NOT NULL THEN (value - y) * (value - y) END)
-         / any_value(ss) END, 4) AS geary,
-       round(sum(CASE WHEN y IS NOT NULL THEN (value - y) * (value - y) END)
-             / sum(CASE WHEN y IS NOT NULL THEN 1 END), 4) AS soc
-FROM led
-GROUP BY user_id, lag
-HAVING sum(CASE WHEN y IS NOT NULL THEN 1 END) > 0
+SELECT a.user_id, a.lag,
+       a.xy / a.cnt AS nmbroto,
+       (((a.xy - (e.sx_all / e.L) * a.py) - (e.sx_all / e.L) * a.px)
+              + ((a.cnt * (e.sx_all / e.L)) * (e.sx_all / e.L))) / a.cnt AS ac,
+       CASE WHEN (e.sxx_all - ((e.L * (e.sx_all / e.L)) * (e.sx_all / e.L))) > 0 THEN
+         ((((a.xy - (e.sx_all / e.L) * a.py) - (e.sx_all / e.L) * a.px)
+           + ((a.cnt * (e.sx_all / e.L)) * (e.sx_all / e.L))) / a.cnt)
+         / ((e.sxx_all - ((e.L * (e.sx_all / e.L)) * (e.sx_all / e.L))) / e.L) END AS moran,
+       CASE WHEN (e.sxx_all - ((e.L * (e.sx_all / e.L)) * (e.sx_all / e.L))) > 0 THEN
+         (((e.L - 1) / (2.0 * a.cnt)) * ((a.pxx + a.pyy) - 2 * a.xy))
+         / (e.sxx_all - ((e.L * (e.sx_all / e.L)) * (e.sx_all / e.L))) END AS geary,
+       ((a.pxx + a.pyy) - 2 * a.xy) / a.cnt AS soc
+FROM agg a JOIN ent e ON a.user_id = e.user_id
+WHERE a.cnt > 0
 """
 
 
 def q_cross_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).withColumn("chan2", F.length("props").cast("double"))
     out = autocorr.cross_cov_long(ev, "user_id", "ts", "value", "chan2", nlags=3, tiebreak="event_id")
-    return out.select("user_id", "lag", F.round("cc", 4).alias("cc"))
+    # unrounded: exact-decimal sums make the doubles bit-identical cross-engine
+    return out.select("user_id", "lag", "cc")
 
 
 Q_CROSS_COV_SQL = """
-WITH base AS (
-  SELECT user_id, ts, event_id, value AS x1,
-         CAST(length(props) AS DOUBLE) AS x2,
-         avg(value) OVER (PARTITION BY user_id) AS m1,
-         avg(CAST(length(props) AS DOUBLE)) OVER (PARTITION BY user_id) AS m2
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(value AS DECIMAL(18,6)) AS a,
+         CAST(CAST(length(props) AS DOUBLE) AS DECIMAL(18,6)) AS b
   FROM events
 ),
+ent AS (
+  SELECT user_id, count(*) AS L,
+         CAST(sum(a) AS DOUBLE) AS sa,
+         CAST(sum(b) AS DOUBLE) AS sb
+  FROM q GROUP BY user_id
+),
 led AS (
-  SELECT user_id, x1, m1, m2, n.lag AS lag,
+  SELECT q.user_id, q.a, n.lag AS lag,
          CASE n.lag
-           WHEN 1 THEN lead(x2, 1) OVER w
-           WHEN 2 THEN lead(x2, 2) OVER w
-           ELSE        lead(x2, 3) OVER w
+           WHEN 1 THEN lead(q.b, 1) OVER w
+           WHEN 2 THEN lead(q.b, 2) OVER w
+           ELSE        lead(q.b, 3) OVER w
          END AS y
-  FROM base CROSS JOIN (VALUES (1), (2), (3)) AS n(lag)
-  WINDOW w AS (PARTITION BY user_id, n.lag ORDER BY ts, event_id)
+  FROM q CROSS JOIN (VALUES (1), (2), (3)) AS n(lag)
+  WINDOW w AS (PARTITION BY q.user_id, n.lag ORDER BY q.ts, q.event_id)
+),
+agg AS (
+  SELECT user_id, lag,
+         sum(CASE WHEN a IS NOT NULL AND y IS NOT NULL THEN 1 END) AS cnt,
+         CAST(sum(CASE WHEN a IS NOT NULL AND y IS NOT NULL THEN a END) AS DOUBLE) AS pa,
+         CAST(sum(CASE WHEN a IS NOT NULL AND y IS NOT NULL THEN y END) AS DOUBLE) AS pb,
+         CAST(sum(CASE WHEN a IS NOT NULL AND y IS NOT NULL THEN a * y END) AS DOUBLE) AS ab
+  FROM led GROUP BY user_id, lag
 )
-SELECT user_id, lag,
-       round(sum(CASE WHEN y IS NOT NULL THEN (x1 - m1) * (y - m2) END)
-             / sum(CASE WHEN y IS NOT NULL THEN 1 END), 4) AS cc
-FROM led GROUP BY user_id, lag
-HAVING sum(CASE WHEN y IS NOT NULL THEN 1 END) > 0
+SELECT g.user_id, g.lag,
+       (((g.ab - (e.sa / e.L) * g.pb) - (e.sb / e.L) * g.pa)
+        + ((g.cnt * (e.sa / e.L)) * (e.sb / e.L))) / g.cnt AS cc
+FROM agg g JOIN ent e ON g.user_id = e.user_id
+WHERE g.cnt > 0
 """
 
 
