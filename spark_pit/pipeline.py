@@ -45,17 +45,47 @@ def image_pit_features(
     gap_seconds: int = 7200,
     width: int = 5,
     num_buckets: int = 64,
+    hot_threshold: int | None = None,
+    chunk_seconds: int = 86400,
 ) -> DataFrame:
     """Per (image_id, event_ts): as-of snapshot match + windowed features on
     the phash channel + trailing fmt composition, plus the caption/aspect
-    channels carried through."""
+    channels carried through.
+
+    ``hot_threshold`` routes image_ids with more events than the threshold
+    through the salted time-chunk path (north_rule: "Skew on hot image_ids
+    is broken via salted repartitioning") — output identical either way
+    (tests/test_skew equivalence + the shared golden fixture)."""
+    from pyspark.sql import Window
+
     ch = image_channels(images)
-    snaps = snapshots.select("image_id", "snapshot_ts", "snapshot_id")
-    fused = pit_features_bucketed(
-        ch, snaps,
-        entity="image_id", ts="event_ts",
-        numeric_col="phash_pop", token_col="fmt", vocab=FMT_VOCAB,
-        gap_seconds=gap_seconds, width=width, num_buckets=num_buckets,
+    # deterministic per-entity row uid: (image_id, event_ts) is NOT unique
+    # (the generator deliberately emits timestamp collisions for as-of tie
+    # tests), so the uid both stabilizes kernel sort order (tiebreak) and
+    # keys the extras join uniquely
+    uid_w = Window.partitionBy("image_id").orderBy(
+        "event_ts", "fmt", "phash_pop", "caption_len", "aspect"
     )
-    extra = ch.select("image_id", "event_ts", "caption_len", "aspect")
-    return fused.join(extra, ["image_id", "event_ts"])
+    ch = ch.withColumn("uid", F.row_number().over(uid_w))
+    snaps = snapshots.select("image_id", "snapshot_ts", "snapshot_id")
+    if hot_threshold is not None:
+        from spark_pit.operators.skew import pit_features_salted
+
+        fused = pit_features_salted(
+            ch, snaps,
+            entity="image_id", ts="event_ts",
+            numeric_col="phash_pop", token_col="fmt", vocab=FMT_VOCAB,
+            gap_seconds=gap_seconds, width=width,
+            chunk_seconds=chunk_seconds, hot_threshold=hot_threshold,
+            tiebreak="uid",
+        )
+    else:
+        fused = pit_features_bucketed(
+            ch, snaps,
+            entity="image_id", ts="event_ts",
+            numeric_col="phash_pop", token_col="fmt", vocab=FMT_VOCAB,
+            gap_seconds=gap_seconds, width=width, num_buckets=num_buckets,
+            tiebreak="uid",
+        )
+    extra = ch.select("image_id", "uid", "caption_len", "aspect")
+    return fused.join(extra, ["image_id", "uid"]).drop("uid")
