@@ -27,16 +27,66 @@ from spark_pit.operators.pit import pit_features_bucketed
 FMT_VOCAB = ["gif", "jpeg", "png", "webp"]
 
 
-def image_channels(images: DataFrame) -> DataFrame:
-    """Derive numeric/token channels; `bytes` is pruned here, pre-shuffle."""
-    return images.select(
-        "image_id",
-        "event_ts",
-        F.bit_count("phash").cast("double").alias("phash_pop"),
-        F.length("caption").cast("double").alias("caption_len"),
-        (F.col("w") / F.col("h")).alias("aspect"),
-        "fmt",
+def image_channels(images: DataFrame, with_pixel_stats: bool = False) -> DataFrame:
+    """Derive numeric/token channels; `bytes` is pruned here, pre-shuffle.
+
+    ``with_pixel_stats=True`` additionally decodes the payload executor-side
+    (iterator mapInPandas, Arrow-batched) and emits mean luminance + gray
+    std — the decode happens BEFORE any exchange, so the binary column
+    never rides a shuffle either way."""
+    if not with_pixel_stats:
+        return images.select(
+            "image_id",
+            "event_ts",
+            F.bit_count("phash").cast("double").alias("phash_pop"),
+            F.length("caption").cast("double").alias("caption_len"),
+            (F.col("w") / F.col("h")).alias("aspect"),
+            "fmt",
+        )
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        "image_id string, event_ts timestamp_ntz, phash_pop double, "
+        "caption_len double, aspect double, fmt string, "
+        "mean_lum double, std_gray double"
     )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_pit.codecs import decode_image
+
+        for b in batches:
+            lum, sg = [], []
+            for data, fmt in zip(b["bytes"], b["fmt"]):
+                try:
+                    img = decode_image(bytes(data), fmt).astype(np.float64)
+                    lum.append(float(img.mean()))
+                    sg.append(float(img.mean(axis=2).std()))
+                except Exception:
+                    lum.append(np.nan)
+                    sg.append(np.nan)
+            yield pd.DataFrame(
+                {
+                    "image_id": b["image_id"],
+                    "event_ts": b["event_ts"],
+                    "phash_pop": np.array(
+                        [bin(int(p) & ((1 << 64) - 1)).count("1") for p in b["phash"]],
+                        dtype=np.float64,
+                    ),
+                    "caption_len": b["caption"].str.len().astype(float),
+                    "aspect": b["w"].astype(float) / b["h"].astype(float),
+                    "fmt": b["fmt"],
+                    "mean_lum": np.round(lum, 6),
+                    "std_gray": np.round(sg, 6),
+                }
+            )
+
+    return images.select(
+        "image_id", "event_ts", "bytes", "w", "h", "fmt", "caption", "phash"
+    ).mapInPandas(extract, schema=schema)
 
 
 def image_pit_features(
@@ -47,6 +97,7 @@ def image_pit_features(
     num_buckets: int = 64,
     hot_threshold: int | None = None,
     chunk_seconds: int = 86400,
+    with_pixel_stats: bool = False,
 ) -> DataFrame:
     """Per (image_id, event_ts): as-of snapshot match + windowed features on
     the phash channel + trailing fmt composition, plus the caption/aspect
@@ -58,7 +109,7 @@ def image_pit_features(
     (tests/test_skew equivalence + the shared golden fixture)."""
     from pyspark.sql import Window
 
-    ch = image_channels(images)
+    ch = image_channels(images, with_pixel_stats=with_pixel_stats)
     # deterministic per-entity row uid: (image_id, event_ts) is NOT unique
     # (the generator deliberately emits timestamp collisions for as-of tie
     # tests), so the uid both stabilizes kernel sort order (tiebreak) and
@@ -87,5 +138,8 @@ def image_pit_features(
             gap_seconds=gap_seconds, width=width, num_buckets=num_buckets,
             tiebreak="uid",
         )
-    extra = ch.select("image_id", "uid", "caption_len", "aspect")
+    extra_cols = ["caption_len", "aspect"] + (
+        ["mean_lum", "std_gray"] if with_pixel_stats else []
+    )
+    extra = ch.select("image_id", "uid", *extra_cols)
     return fused.join(extra, ["image_id", "uid"]).drop("uid")

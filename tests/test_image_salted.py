@@ -36,3 +36,21 @@ def test_image_pipeline_salted_equals_bucketed(spark):
             )
         else:
             assert a.astype(str).equals(b.astype(str)), c
+
+
+def test_image_pipeline_with_pixel_stats(spark):
+    images = images_table(spark, n_entities=15, n_rows=200, seed=5)
+    snaps = snapshots_table(spark, n_entities=15, snaps_per_entity=4, seed=5)
+    out = image_pit_features(
+        images, snaps, num_buckets=4, with_pixel_stats=True
+    ).toPandas()
+    assert len(out) == images.count()
+    assert {"mean_lum", "std_gray"} <= set(out.columns)
+    # every payload in the synthetic table decodes
+    assert out["mean_lum"].notna().all()
+    assert (out["mean_lum"] >= 0).all() and (out["mean_lum"] <= 255).all()
+    # phash_pop identical between the pixel-stats path and the cheap path
+    cheap = image_pit_features(images, snaps, num_buckets=4).toPandas()
+    a = out.sort_values(["image_id", "event_ts", "phash_pop"]).reset_index(drop=True)
+    b = cheap.sort_values(["image_id", "event_ts", "phash_pop"]).reset_index(drop=True)
+    np.testing.assert_allclose(a["phash_pop"], b["phash_pop"])
