@@ -157,6 +157,7 @@ def pit_features_bucketed(
     width: int = 5,
     tiebreak: str | None = None,
     num_buckets: int = 256,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """pit_features_cursor semantics at bucket granularity: entities are
     hashed into ``num_buckets`` groups (``pmod(xxhash64(entity), B)``) and
@@ -180,8 +181,12 @@ def pit_features_bucketed(
     V = len(vocab)
     ent_type = events.schema[entity].dataType.simpleString()
     tb = [tiebreak] if tiebreak else []
+    pt = list(passthrough or [])
     tb_field = (
         f"{tiebreak} {events.schema[tiebreak].dataType.simpleString()}, " if tiebreak else ""
+    )
+    pt_fields = "".join(
+        f", {c} {events.schema[c].dataType.simpleString()}" for c in pt
     )
     out_schema = (
         f"{entity} {ent_type}, {ts} timestamp_ntz, {tb_field}"
@@ -190,7 +195,7 @@ def pit_features_bucketed(
         f"lag1_{numeric_col} double, lead1_{numeric_col} double, "
         f"session_id long, session_pos long, "
         f"{numeric_col}_bf double, roll_mean_{numeric_col} double, "
-        f"wc array<double>"
+        f"wc array<double>" + pt_fields
     )
     gap_us = gap_seconds * 1_000_000
 
@@ -295,10 +300,12 @@ def pit_features_bucketed(
         ocs = np.concatenate([np.zeros((1, V)), np.cumsum(onehot, axis=0)])
         wcm = (ocs[idx_arr + 1] - ocs[w_s]) / (idx_arr + 1 - w_s)[:, None]
         out["wc"] = list(wcm)
+        for c in pt:
+            out[c] = ev[c]
         return out
 
     bkt = F.pmod(F.xxhash64(F.col(entity)), F.lit(num_buckets)).cast("int")
-    ev = events.select(entity, ts, *tb, numeric_col, token_col).withColumn("__b", bkt)
+    ev = events.select(entity, ts, *tb, numeric_col, token_col, *pt).withColumn("__b", bkt)
     sn = snapshots.select(
         F.col(entity).alias("__se"), F.col(snap_ts), F.col(snap_id)
     ).withColumn("__b", F.pmod(F.xxhash64(F.col("__se")), F.lit(num_buckets)).cast("int"))

@@ -130,16 +130,21 @@ def image_pit_features(
             chunk_seconds=chunk_seconds, hot_threshold=hot_threshold,
             tiebreak="uid",
         )
-    else:
-        fused = pit_features_bucketed(
-            ch, snaps,
-            entity="image_id", ts="event_ts",
-            numeric_col="phash_pop", token_col="fmt", vocab=FMT_VOCAB,
-            gap_seconds=gap_seconds, width=width, num_buckets=num_buckets,
-            tiebreak="uid",
+        extra_cols = ["caption_len", "aspect"] + (
+            ["mean_lum", "std_gray"] if with_pixel_stats else []
         )
+        extra = ch.select("image_id", "uid", *extra_cols)
+        return fused.join(extra, ["image_id", "uid"]).drop("uid")
+    # bucketed path: extra channels ride through the kernel (passthrough) —
+    # no second window branch, no extras join, one exchange fewer
     extra_cols = ["caption_len", "aspect"] + (
         ["mean_lum", "std_gray"] if with_pixel_stats else []
     )
-    extra = ch.select("image_id", "uid", *extra_cols)
-    return fused.join(extra, ["image_id", "uid"]).drop("uid")
+    fused = pit_features_bucketed(
+        ch, snaps,
+        entity="image_id", ts="event_ts",
+        numeric_col="phash_pop", token_col="fmt", vocab=FMT_VOCAB,
+        gap_seconds=gap_seconds, width=width, num_buckets=num_buckets,
+        tiebreak="uid", passthrough=extra_cols,
+    )
+    return fused.drop("uid")
