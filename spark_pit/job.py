@@ -58,12 +58,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'image' = the north-rule image+caption pipeline "
                         "(--events points at images.parquet, --snapshots "
                         "at the snapshot stream; see spark_pit.datagen CLI)")
+    p.add_argument("--params", default=None,
+                   help="JSON parameter file (reference import_parameters "
+                        "shape, see spark_pit.config); CLI flags win")
     return p
 
 
 def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     from spark_pit import manifest
+    from spark_pit.config import load_params
     from spark_pit.operators.skew import pit_features_salted
+
+    # JSON params provide defaults; explicit CLI flags (argparse defaults
+    # differ from DEFAULTS only when the user passed them) take precedence
+    if args.params:
+        cfg = load_params(args.params).for_op("pit")
+        parser_defaults = build_parser().parse_args(
+            ["--events", args.events, "--out", args.out]
+        )
+        for cli_name, cfg_name in (
+            ("gap_seconds", "gap_seconds"), ("width", "width"),
+            ("chunk_seconds", "chunk_seconds"), ("hot_threshold", "hot_threshold"),
+            ("num_parts", "num_parts"),
+        ):
+            if getattr(args, cli_name) == getattr(parser_defaults, cli_name) and cfg_name in cfg:
+                setattr(args, cli_name, cfg[cfg_name])
 
     t0 = time.perf_counter()
     if args.table_kind == "image":
