@@ -193,3 +193,30 @@ def ann_mllib_lsh(
         )
         .where(F.col("qid") < F.col("nid"))
     )
+
+
+def embedding_neardup(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate marking: a vector is a duplicate iff
+    some smaller-id vector has cosine >= threshold; dup_of = the smallest
+    such id (one-hop marking; full transitive clustering = iterative
+    connected components, out of scope). Returns every id with
+    (is_dup, dup_of)."""
+    base = with_norm(df.select(id_col, vec_col), id_col, vec_col)
+    a = base.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), F.col("norm").alias("qn"))
+    b = base.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), F.col("norm").alias("nn"))
+    pairs = a.join(b, F.col("nid") < F.col("qid")).select(
+        "qid", "nid",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+    ).where(F.col("cos") >= threshold)
+    dup = pairs.groupBy("qid").agg(F.min("nid").alias("dup_of"))
+    return (
+        df.select(F.col(id_col).alias("qid"))
+        .join(dup, "qid", "left")
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

@@ -81,6 +81,38 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_asof_join_inclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-or-before tie semantics (strict=False): a snapshot stamped exactly
+    at the event timestamp IS visible — the other side of the §7 tie
+    decision, kept as a first-class operator mode."""
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = asof_join_window(
+        ev, _snaps(spark, sf_dir), ["user_id"], "ts", "snapshot_ts",
+        ["snapshot_id"], strict=False, right_order="snapshot_id",
+    )
+    return out.select(
+        "event_id", "user_id", ts_us("ts").alias("ts_us"),
+        F.col("asof_snapshot_id"), ts_us("asof_ts").alias("asof_ts_us"),
+    )
+
+
+Q_ASOF_INCLUSIVE_SQL = f"""
+WITH snaps AS ({_SNAPS_SQL}),
+ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, s.snapshot_id, s.snapshot_ts,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY s.snapshot_ts DESC, s.snapshot_id DESC) AS rn
+  FROM events e
+  LEFT JOIN snaps s ON e.user_id = s.user_id AND s.snapshot_ts <= e.ts
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       snapshot_id AS asof_snapshot_id,
+       epoch_us(snapshot_ts) AS asof_ts_us
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     out = windows.with_lag_lead(ev, "user_id", "ts", ["value"], [1, 2], tiebreak="event_id")
@@ -931,6 +963,40 @@ FROM cnt
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup marking (the training-pipeline dedup mode
+    beyond text MinHash/SimHash): dup iff a smaller-id vector has
+    cosine >= 0.9."""
+    from spark_pit.operators.similarity import embedding_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup(emb, "vec_id", "embedding", threshold=0.9)
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+WITH norms AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+           (a, b) -> a + b)) AS norm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+            for i in generate_series(1, len(a.embedding))]),
+           (s, v) -> s + v) / (a.norm * b.norm) AS cos
+  FROM norms a JOIN norms b ON b.vec_id < a.vec_id
+),
+dup AS (
+  SELECT qid, min(nid) AS dup_of FROM pairs WHERE cos >= 0.9 GROUP BY qid
+)
+SELECT e.vec_id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+FROM embeddings e LEFT JOIN dup d ON e.vec_id = d.qid
+"""
+
+
 def q_contact_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 network descriptor (non-iterative slice): epsilon-graph over each
     user's events (edge iff |value diff| <= 0.3), per-graph degree/triangle
@@ -1631,6 +1697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pit_fused": q_pit_fused,
     "pit_salted": q_pit_salted,
     "asof_join": q_asof_join,
+    "asof_join_inclusive": q_asof_join_inclusive,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "backfill": q_backfill,
@@ -1666,6 +1733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_window_composition": q_grouped_window_composition,
     "grouped_kspaced_pairs": q_grouped_kspaced_pairs,
     "ball_composition": q_ball_composition,
+    "embedding_neardup": q_embedding_neardup,
     "contact_graph_stats": q_contact_graph_stats,
     "ann_mllib_lsh": q_ann_mllib_lsh,
     "image_pit": q_image_pit,
@@ -1695,6 +1763,7 @@ ORACLES: dict[str, str] = {
     "pit_fused": Q_PIT_FUSED_SQL,
     "pit_salted": Q_PIT_FUSED_SQL,
     "asof_join": Q_ASOF_SQL,
+    "asof_join_inclusive": Q_ASOF_INCLUSIVE_SQL,
     "lag_lead": Q_LAG_LEAD_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "backfill": Q_BACKFILL_SQL,
@@ -1729,6 +1798,7 @@ ORACLES: dict[str, str] = {
     "grouped_window_composition": Q_GROUPED_WINDOW_COMPOSITION_SQL,
     "grouped_kspaced_pairs": Q_GROUPED_KSPACED_PAIRS_SQL,
     "ball_composition": Q_BALL_COMPOSITION_SQL,
+    "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "channel_correlation": Q_CHANNEL_CORRELATION_SQL,
     # embed_documents, pca_embeddings, kmeans_embeddings: rows-only
