@@ -52,20 +52,20 @@ def lagk_pair_freq(
     """
     w = entity_window(entity, ts, tiebreak)
     total = Window.partitionBy(entity, "gap")
-    parts = []
-    for g in gaps:
-        k = g + 1
-        parts.append(
-            df.select(
-                F.col(entity),
-                F.lit(g).alias("gap"),
-                F.col(token_col).alias("tok_a"),
-                F.lead(token_col, k).over(w).alias("tok_b"),
-            ).where(F.col("tok_b").isNotNull())
-        )
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
+    # all gaps from ONE window pass (one sort exchange), stack-unpivot into
+    # long (gap, tok_a, tok_b) rows — the per-gap-union form pays one
+    # sort+shuffle per gap
+    wide = df.select(
+        F.col(entity),
+        F.col(token_col).alias("tok_a"),
+        *[F.lead(token_col, g + 1).over(w).alias(f"__b{g}") for g in gaps],
+    )
+    stack_expr = "stack({n}, {args}) as (gap, tok_b)".format(
+        n=len(gaps), args=", ".join(f"{g}, __b{g}" for g in gaps)
+    )
+    pairs = wide.select(entity, "tok_a", F.expr(stack_expr)).where(
+        F.col("tok_b").isNotNull()
+    )
     out = pairs.groupBy(entity, "gap", "tok_a", "tok_b").agg(
         F.count(F.lit(1)).alias("pair_n")
     )
