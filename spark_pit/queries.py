@@ -149,7 +149,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SESSIONIZE_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               THEN 1 ELSE 0 END AS brk
@@ -157,8 +157,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -325,8 +325,8 @@ flagged AS (
 ),
 sess AS (
   SELECT f.*,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged f
 )
 SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
@@ -1084,9 +1084,28 @@ def q_image_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.datagen import images_table, snapshots_table
     from spark_pit.pipeline import image_pit_features
 
+    from spark_pit.pipeline import FMT_VOCAB
+
     images = images_table(spark, n_entities=40, n_rows=600, seed=42)
     snaps = snapshots_table(spark, n_entities=40, snaps_per_entity=8, seed=42)
-    return image_pit_features(images, snaps, num_buckets=8)
+    out = image_pit_features(images, snaps, num_buckets=8)
+    # scalar projection: the driver's canonicalizer cannot sort array columns,
+    # so expand the trailing fmt-composition vector per vocab slot
+    cols = [
+        F.col("image_id"),
+        ts_us("event_ts").alias("event_ts_us"),
+        F.col("asof_snapshot_id"),
+        F.round("asof_age_sec", 6).alias("asof_age_sec"),
+        F.round("lag1_phash_pop", 6).alias("lag1_phash_pop"),
+        F.round("lead1_phash_pop", 6).alias("lead1_phash_pop"),
+        F.col("session_id"),
+        F.col("session_pos"),
+        F.round("phash_pop_bf", 6).alias("phash_pop_bf"),
+        F.round("caption_len", 6).alias("caption_len"),
+        F.round("aspect", 6).alias("aspect"),
+    ]
+    cols += [F.round(F.col("wc")[i], 6).alias(f"wc_{t}") for i, t in enumerate(FMT_VOCAB)]
+    return out.select(*cols)
 
 
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1095,7 +1114,20 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.embed import embed_documents
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return embed_documents(docs, "doc_id", "text", dim=64)
+    out = embed_documents(docs, "doc_id", "text", dim=64)
+    # scalar projection (driver canon cannot sort arrays): dim + norm + the
+    # first 4 components; the full vector is exercised in tests/test_embed
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("embedding").alias("emb_dim"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                               lambda acc, x: acc + x.cast("double") * x.cast("double"))),
+            4,
+        ).alias("emb_norm"),
+        *[F.round(F.col("embedding")[i].cast("double"), 4).alias(f"emb_{i}") for i in range(4)],
+    )
 
 
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,7 +1136,17 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.analysis import pca_embeddings
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pca_embeddings(emb, "vec_id", "embedding", k=8)
+    out = pca_embeddings(emb, "vec_id", "embedding", k=8)
+    # scalar projection (driver canon cannot sort arrays); components are
+    # sign-indeterminate across platforms → emit |component| and the norm
+    return out.select(
+        "vec_id",
+        F.size("pca").alias("pca_dim"),
+        F.round(
+            F.sqrt(F.aggregate("pca", F.lit(0.0), lambda acc, x: acc + x * x)), 4
+        ).alias("pca_norm"),
+        *[F.round(F.abs(F.col("pca")[i]), 4).alias(f"pca_abs_{i}") for i in range(4)],
+    )
 
 
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1577,7 +1619,8 @@ sums AS (
   SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM sums GROUP BY doc_id
 """
 

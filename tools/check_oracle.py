@@ -22,18 +22,21 @@ TABLES = [
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonicalization: NO dtype unification across the
+    int/float divide (the driver's hash is dtype-strict — a DuckDB HUGEINT
+    that lands as float64 must FAIL against a Spark bigint, judge round-1
+    diagnosis). Arrays/lists are not coerced either, so the sort below
+    raises 'unhashable type' exactly like the driver's canonicalizer."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype("int64")
-        elif df[c].dtype == object:
+        elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], str):
             df[c] = df[c].astype(str)
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # Int64/int64 unify; NaN for nulls
+            df[c] = df[c].astype("int64")  # int32/Int64 width unify only
         elif pd.api.types.is_bool_dtype(df[c]):
-            df[c] = df[c].astype("float64")
+            df[c] = df[c].astype("bool")
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -44,16 +47,26 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"cols spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
-    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    try:
+        a, b = normalize(spark_pdf), normalize(duck_pdf)
+    except TypeError as e:  # the driver's canon crashes the same way
+        problems.append(f"canonicalize crash (driver would err): {e}")
+        return problems
     if len(a) != len(b):
         return problems
     for c in a.columns:
         va, vb = a[c].to_numpy(), b[c].to_numpy()
+        if va.dtype.kind != vb.dtype.kind:
+            # dtype-strict, like the driver's hash: int 3 != float 3.0
+            problems.append(f"{c}: dtype mismatch spark={va.dtype} duck={vb.dtype}")
+            continue
         if va.dtype.kind == "f":
             na, nb = np.isnan(va), np.isnan(vb)
             exact = np.array_equal(na, nb) and np.array_equal(va[~na], vb[~nb])
-            close = np.array_equal(na, nb) and np.allclose(va[~na], vb[~nb], rtol=1e-9, atol=1e-9)
             if not exact:
+                close = np.array_equal(na, nb) and np.allclose(
+                    va[~na], vb[~nb], rtol=1e-9, atol=1e-9
+                )
                 tag = "CLOSE-NOT-EXACT" if close else "MISMATCH"
                 bad = int((~np.isclose(va, vb, rtol=1e-9, atol=1e-9, equal_nan=True)).sum())
                 problems.append(f"{c}: {tag} ({bad} values differ beyond 1e-9)")
@@ -88,7 +101,12 @@ def main() -> int:
             failures += 1
             continue
         if name not in ORACLES:
-            print(f"[rows-only] {name}: {len(spark_pdf)} rows")
+            try:  # the driver canonicalizes rows-only results too — arrays crash it
+                normalize(spark_pdf)
+                print(f"[rows-only] {name}: {len(spark_pdf)} rows")
+            except TypeError as e:
+                print(f"[FAIL] {name}: canonicalize crash (driver would err): {e}")
+                failures += 1
             continue
         try:
             duck_pdf = con.execute(ORACLES[name]).df()
@@ -97,12 +115,11 @@ def main() -> int:
             failures += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
-        hard = [p for p in problems if "CLOSE-NOT-EXACT" not in p]
-        if hard:
+        # CLOSE-NOT-EXACT also fails: the driver hashes exact bytes, so
+        # "close" locally means "fail at the driver" (judge round-1 item 2)
+        if problems:
             print(f"[FAIL] {name}: {problems}")
             failures += 1
-        elif problems:
-            print(f"[WARN] {name}: {problems}")
         else:
             print(f"[OK]   {name}: {len(spark_pdf)} rows")
     spark.stop()
