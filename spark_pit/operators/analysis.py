@@ -32,6 +32,25 @@ def kmeans_clusters(
     return model.transform(feats).select(id_col, F.col("prediction").alias("cluster"))
 
 
+def gmm_clusters(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 3, seed: int = 42
+) -> DataFrame:
+    """iAnalysis.GM (feature.py:4809-4822, sklearn GaussianMixture) →
+    ml.clustering.GaussianMixture. Returns (id, cluster, max_prob) —
+    the hard assignment plus its posterior, mirroring the reference's
+    fit_predict surface. Init is platform-dependent → rows-only query."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _assemble(df, vec_col)
+    model = GaussianMixture(k=k, seed=seed, featuresCol="__features").fit(feats)
+    return model.transform(feats).select(
+        id_col,
+        F.col("prediction").alias("cluster"),
+        F.round(F.array_max(vector_to_array("probability")), 6).alias("max_prob"),
+    )
+
+
 def pca_embeddings(
     df: DataFrame, id_col: str, vec_col: str, k: int = 8
 ) -> DataFrame:

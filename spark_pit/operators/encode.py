@@ -62,3 +62,23 @@ def minmax_norm(df: DataFrame, entity: str, col: str, out: str | None = None) ->
         out or f"{col}_mm",
         F.when(hi > lo, (F.col(col) - lo) / (hi - lo)),
     )
+
+
+def mean_impute(df: DataFrame, entity: str, col: str, out: str | None = None) -> DataFrame:
+    """The reference's MinMax preamble (feature.py:5063-5070): NaN cells are
+    filled with the column mean before scaling. Per-entity channel analogue:
+    null/NaN → mean over the entity's non-null values. The mean is computed
+    as exact-decimal sum / count (NOT float avg) so the fill value is
+    summation-order-independent — bit-identical across engines and across
+    partition layouts (the repo-wide determinism convention, see
+    autocorr.py). One window aggregate, no shuffle beyond the entity
+    partition."""
+    w = Window.partitionBy(entity)
+    x = F.col(col)
+    missing = x.isNull() | F.isnan(x)
+    clean = F.when(~missing, x)
+    mean = (
+        F.sum(clean.cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(clean).over(w)
+    )
+    return df.withColumn(out or f"{col}_filled", F.when(missing, mean).otherwise(x))

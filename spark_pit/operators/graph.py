@@ -1,12 +1,13 @@
-"""Contact-graph statistics (SURVEY.md §2.8 network descriptor — the
-non-iterative slice).
+"""Contact-graph statistics (SURVEY.md §2.8 network descriptor).
 
 The reference builds a residue ε-graph (edge iff 3-D distance <= cutoff,
 feature.py:4593-4598) and emits global stats + per-node degree/clustering
-(feature.py:4601-4609). Centralities needing iteration (betweenness,
-eigenvector, shortest paths) stay out of scope (documented gap — they need
-GraphFrames or iterative jobs); degree, density, and triangle-based
-clustering are pure DataFrame joins:
+plus networkx centralities (feature.py:4601-4609). Implemented here:
+degree/triangles/clustering (pure joins), eigenvector centrality (bounded
+power iteration of DataFrame joins), and connected components (min-label
+propagation). Betweenness/closeness/all-pairs shortest paths stay a
+documented gap (inherently O(V·E) traversals — GraphFrames territory).
+The non-iterative slice:
 
 - edge list: banded-range self-join on the 1-D coordinate (same
   bucketing trick as rangejoin.py — hash equi-join, no nested loop)
@@ -103,3 +104,108 @@ def graph_stats(edges: DataFrame, entity: str) -> DataFrame:
             3.0 * F.col("n_triangles") / F.col("n_triads"),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def _undirected(edges: DataFrame, entity: str) -> DataFrame:
+    return edges.select(entity, F.col("a").alias("n"), F.col("b").alias("m")).unionByName(
+        edges.select(entity, F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+
+
+def eigenvector_centrality(
+    edges: DataFrame, entity: str, n_iter: int = 8
+) -> DataFrame:
+    """Eigenvector centrality per entity graph (reference nx.eigenvector_
+    centrality, feature.py:4605) as a FIXED-K power iteration of DataFrame
+    joins: v ← ((A+I)·v) / max(·), K times, then L2-normalize. The +I
+    (self-loop) term is networkx's own convergence device — it shifts the
+    spectrum so bipartite-ish graphs (stars, chains) cannot oscillate,
+    while leaving the eigenvectors unchanged.
+
+    Cross-engine determinism (the same discipline as autocorr.py): each
+    iterate is quantized to DECIMAL(18,9), so the neighbor-sum is an EXACT
+    decimal aggregation (order-independent), the max is exact, and the only
+    float ops are one correctly-rounded IEEE divide + sqrt per step — both
+    engines produce bit-identical iterates, so a DuckDB oracle unrolling
+    the same K stages hash-matches. Fixed K (not convergence-tested) keeps
+    the oracle expressible; K=8 is plenty for ε-graph spectral gaps and the
+    semantics are "K-step power iteration" on both sides by construction.
+
+    Scale: each step is one shuffle (groupBy on the node key) + one tiny
+    per-entity max broadcast-join; lineage is truncated per step with
+    localCheckpoint. 100 TB graphs pay K·(1 join + 1 agg) — the canonical
+    Spark iterative shape, no driver collect of node data.
+    """
+    und = _undirected(edges, entity)
+    nodes = und.select(entity, "n").distinct()
+    # A + I: self-loop rows alongside the undirected adjacency
+    adj = und.unionByName(nodes.withColumn("m", F.col("n")))
+    v = nodes.withColumn("v", F.lit(1).cast("decimal(18,9)"))
+    for _ in range(n_iter):
+        s = (
+            adj.join(v.select(entity, F.col("n").alias("m"), "v"), [entity, "m"])
+            .groupBy(entity, "n")
+            .agg(F.sum("v").alias("s"))  # exact decimal sum
+        )
+        mx = s.groupBy(entity).agg(F.max("s").alias("mx"))
+        v = (
+            s.join(F.broadcast(mx), entity)
+            .select(
+                entity, "n",
+                (F.col("s").cast("double") / F.col("mx").cast("double"))
+                .cast("decimal(18,9)").alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    norm = v.groupBy(entity).agg(
+        F.sum(F.col("v") * F.col("v")).alias("ss")  # exact decimal(38,18) sum
+    )
+    return v.join(F.broadcast(norm), entity).select(
+        entity,
+        F.col("n").alias("node"),
+        F.round(
+            F.col("v").cast("double") / F.sqrt(F.col("ss").cast("double")), 6
+        ).alias("centrality"),
+    )
+
+
+def connected_components(
+    edges: DataFrame, entity: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components per entity graph (reference nx.connected_
+    components / global diameter prerequisites, feature.py:4601-4609):
+    min-label propagation — every node starts labeled with its own id and
+    repeatedly takes the min of its own and its neighbors' labels until a
+    fixpoint (component id = smallest node id in the component,
+    deterministic). Integer-only → bit-exact against a recursive-CTE oracle.
+
+    The loop is driver-bounded with an early-exit count (one action per
+    iteration, the canonical Spark iterative shape); iterations needed =
+    graph diameter, ≤ max_iter for ε-graphs. At extreme scale swap for the
+    large-star/small-star variant; min-label keeps the per-step cost at one
+    join + one groupBy shuffle which is right for bounded-diameter graphs.
+    """
+    und = _undirected(edges, entity)
+    lab = und.select(entity, "n").distinct().withColumn("c", F.col("n"))
+    for _ in range(max_iter):
+        nb = (
+            und.join(lab.select(entity, F.col("n").alias("m"), F.col("c").alias("cm")),
+                     [entity, "m"])
+            .groupBy(entity, "n")
+            .agg(F.min("cm").alias("cnb"))
+        )
+        nxt = (
+            lab.join(nb, [entity, "n"], "left")
+            .select(entity, "n", F.least("c", F.coalesce("cnb", "c")).alias("c"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(lab.select(entity, "n", F.col("c").alias("co")), [entity, "n"])
+            .where(F.col("c") != F.col("co"))
+            .limit(1)
+            .count()
+        )
+        lab = nxt
+        if changed == 0:
+            break
+    return lab.select(entity, F.col("n").alias("node"), F.col("c").alias("component"))

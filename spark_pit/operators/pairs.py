@@ -346,6 +346,106 @@ def ctriad_minmax(
     )
 
 
+def ksctriad(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    gap: int = 1,
+    group_map: dict[str, str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """KSCTriad analogue (feature.py:2107-2147 / CalculateKSCTriad
+    feature.py:2052-2068): for every g in 0..gap, triads of reduced-alphabet
+    tokens at positions (i, i+g+1, i+2g+2), counted per entity and min-max
+    scaled PER g-BLOCK with the reference's /max quirk ((c-min)/max, not
+    /(max-min) — feature.py:2066). g=0 reproduces CTriad. Entities shorter
+    than 2*gap+3 are excluded (the reference's length guard,
+    feature.py:2110).
+
+    Plan: ONE window sort produces every lead offset needed for all g
+    blocks; a stack unpivot turns the wide leads into long (g, g_b, g_c)
+    rows, then one partial-agg groupBy — exactly the lagk_pair_freq shape,
+    so the cost is one sort exchange + one agg shuffle regardless of gap.
+    """
+    gm = group_map or GROUP_MAP_DEFAULT
+    mapping = F.create_map(*[x for k, v in gm.items() for x in (F.lit(k), F.lit(v))])
+    w = entity_window(entity, ts, tiebreak)
+    g = df.withColumn("__grp", mapping[F.col(token_col)])
+    offs = sorted({o for gg in range(gap + 1) for o in (gg + 1, 2 * gg + 2)})
+    wide = g.select(
+        F.col(entity),
+        F.col("__grp").alias("g_a"),
+        F.count(F.lit(1)).over(Window.partitionBy(entity)).alias("__len"),
+        *[F.lead("__grp", o).over(w).alias(f"__l{o}") for o in offs],
+    )
+    stack_expr = "stack({n}, {args}) as (g, g_b, g_c)".format(
+        n=gap + 1,
+        args=", ".join(f"{gg}, __l{gg + 1}, __l{2 * gg + 2}" for gg in range(gap + 1)),
+    )
+    tri = (
+        wide.where(F.col("__len") >= 2 * gap + 3)
+        .select(entity, "g_a", F.expr(stack_expr))
+        .where(F.col("g_c").isNotNull())
+    )
+    counts = tri.groupBy(entity, "g", "g_a", "g_b", "g_c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    blk = Window.partitionBy(entity, "g")
+    return counts.select(
+        entity, "g", "g_a", "g_b", "g_c",
+        ((F.col("n") - F.min("n").over(blk)) / F.max("n").over(blk)).alias("ksctriad"),
+    )
+
+
+def distance_pair_freq(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    distance: int = 2,
+    group_map: dict[str, str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """DistancePair analogue (feature.py:2570-2718): under a reduced
+    alphabet (the cp20/19/14/13 registry — spark_pit.alphabets), emit
+    d=0 single-token composition (count/L, feature.py:2704-2706) and for
+    each d in 1..distance the ordered pair frequency at exact distance d
+    (count/(L-d), feature.py:2708-2712). Long format: (entity, d, tok_a,
+    tok_b, freq) with tok_b NULL on the d=0 rows.
+
+    Plan: one window sort yields every lead 1..distance; stack-unpivot +
+    one groupBy, then a per-entity length window for the denominators —
+    one sort exchange + one agg shuffle total, any alphabet, any distance.
+    """
+    gm = group_map or GROUP_MAP_DEFAULT
+    mapping = F.create_map(*[x for k, v in gm.items() for x in (F.lit(k), F.lit(v))])
+    w = entity_window(entity, ts, tiebreak)
+    g = df.withColumn("__grp", mapping[F.col(token_col)])
+    wide = g.select(
+        F.col(entity),
+        F.col("__grp").alias("tok_a"),
+        F.count(F.lit(1)).over(Window.partitionBy(entity)).alias("__len"),
+        *[F.lead("__grp", d).over(w).alias(f"__d{d}") for d in range(1, distance + 1)],
+    )
+    # d=0 single rows ride the same stack (tok_b = tok_a sentinel -> NULLed)
+    stack_expr = "stack({n}, 0, CAST(NULL AS STRING), {args}) as (d, tok_b)".format(
+        n=distance + 1,
+        args=", ".join(f"{d}, __d{d}" for d in range(1, distance + 1)),
+    )
+    long = wide.select(entity, "tok_a", "__len", F.expr(stack_expr)).where(
+        (F.col("d") == 0) | F.col("tok_b").isNotNull()
+    )
+    return (
+        long.groupBy(entity, "d", "tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("__len").alias("__len"))
+        .select(
+            entity, "d", "tok_a", "tok_b",
+            (F.col("n") / (F.col("__len") - F.col("d"))).alias("dp_freq"),
+        )
+    )
+
+
 def grouped_window_composition(
     df: DataFrame,
     entity: str,

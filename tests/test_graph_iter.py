@@ -1,0 +1,65 @@
+"""Iterative graph operators: eigenvector centrality (power iteration) and
+connected components (min-label propagation) on graphs with known answers."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(rows, "g long, a long, b long").selectExpr(
+        "g", "a", "b"
+    )
+
+
+def test_connected_components_two_chains(spark):
+    from spark_pit.operators.graph import connected_components
+
+    # entity 1: chain 1-2-3-4 and isolated pair 10-11; entity 2: triangle
+    rows = [(1, 1, 2), (1, 2, 3), (1, 3, 4), (1, 10, 11),
+            (2, 5, 6), (2, 6, 7), (2, 5, 7)]
+    out = connected_components(_edges_df(spark, rows), "g").toPandas()
+    comp = {(r.g, r.node): r.component for r in out.itertuples()}
+    assert comp[(1, 1)] == comp[(1, 2)] == comp[(1, 3)] == comp[(1, 4)] == 1
+    assert comp[(1, 10)] == comp[(1, 11)] == 10
+    assert comp[(2, 5)] == comp[(2, 6)] == comp[(2, 7)] == 5
+
+
+def test_connected_components_long_chain_converges(spark):
+    from spark_pit.operators.graph import connected_components
+
+    n = 20  # diameter 19 > naive per-step reach; min-label still converges
+    rows = [(1, i, i + 1) for i in range(n)]
+    out = connected_components(_edges_df(spark, rows), "g").toPandas()
+    assert set(out["component"]) == {0}
+    assert len(out) == n + 1
+
+
+def test_eigenvector_centrality_star(spark):
+    from spark_pit.operators.graph import eigenvector_centrality
+
+    # star: center 0 linked to 1..4 — center gets the max centrality and
+    # all leaves are symmetric-equal; compare against numpy eig on A
+    rows = [(1, 0, i) for i in range(1, 5)]
+    out = eigenvector_centrality(_edges_df(spark, rows), "g", n_iter=8).toPandas()
+    c = dict(zip(out["node"], out["centrality"]))
+    assert c[0] > c[1]
+    assert len({c[i] for i in range(1, 5)}) == 1
+    a = np.zeros((5, 5))
+    for _, i, j in rows:
+        a[i, j] = a[j, i] = 1.0
+    w, v = np.linalg.eigh(a)
+    lead = np.abs(v[:, np.argmax(w)])
+    lead = lead / np.linalg.norm(lead)
+    got = np.array([c[i] for i in range(5)])
+    assert np.allclose(got, lead, atol=1e-3)
+
+
+def test_eigenvector_centrality_is_per_entity(spark):
+    from spark_pit.operators.graph import eigenvector_centrality
+
+    rows = [(1, 0, 1), (1, 1, 2), (2, 0, 1)]  # different graphs share node ids
+    out = eigenvector_centrality(_edges_df(spark, rows), "g", n_iter=8).toPandas()
+    assert len(out) == 5
+    g2 = out[out["g"] == 2]["centrality"].to_numpy()
+    assert np.allclose(g2, [1 / np.sqrt(2)] * 2, atol=1e-6)

@@ -1,0 +1,132 @@
+"""Round-2 descriptor operators: KSCTriad, DistancePair (alphabet registry),
+mean imputer, GaussianMixture — brute-force Python replicas as ground truth
+(the reference's own per-sequence loop semantics, feature.py cited per op)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from spark_pit.alphabets import EVENT_ALPHABETS, PROTEIN_ALPHABETS
+
+
+def _seq_df(spark, seqs: dict[int, str]):
+    rows = [
+        (e, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), i, tok)
+        for e, s in seqs.items()
+        for i, tok in enumerate(s.split())
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long, event_type string")
+
+
+SEQS = {
+    1: "click view click purchase view error click view click view",
+    2: "error error click view purchase signup click view",
+    3: "click view purchase",  # too short for gap=1 (needs >= 5)
+}
+
+
+def test_ksctriad_matches_reference_loop(spark):
+    from spark_pit.operators.pairs import GROUP_MAP_DEFAULT, ksctriad
+
+    gap = 1
+    out = ksctriad(_seq_df(spark, SEQS), "user_id", "ts", "event_type",
+                   gap=gap, tiebreak="event_id").toPandas()
+    assert set(out["user_id"]) == {1, 2}  # entity 3 fails the 2g+3 guard
+    # brute force per CalculateKSCTriad (feature.py:2052-2068), sparse form
+    for ent, s in SEQS.items():
+        toks = [GROUP_MAP_DEFAULT[t] for t in s.split()]
+        if len(toks) < 2 * gap + 3:
+            continue
+        for g in range(gap + 1):
+            cnt: dict[tuple, int] = {}
+            for i in range(len(toks)):
+                if i + 2 * g + 2 < len(toks):
+                    key = (toks[i], toks[i + g + 1], toks[i + 2 * g + 2])
+                    cnt[key] = cnt.get(key, 0) + 1
+            mn, mx = min(cnt.values()), max(cnt.values())
+            sub = out[(out["user_id"] == ent) & (out["g"] == g)]
+            assert len(sub) == len(cnt)
+            for r in sub.itertuples():
+                assert r.ksctriad == pytest.approx(
+                    (cnt[(r.g_a, r.g_b, r.g_c)] - mn) / mx
+                )
+
+
+def test_distance_pair_matches_reference_loop(spark):
+    from spark_pit.operators.pairs import distance_pair_freq
+
+    alpha = EVENT_ALPHABETS["action2"]
+    distance = 2
+    out = distance_pair_freq(
+        _seq_df(spark, SEQS), "user_id", "ts", "event_type",
+        distance=distance, group_map=alpha, tiebreak="event_id",
+    ).toPandas()
+    # brute force per _DistancePair (feature.py:2697-2712)
+    for ent, s in SEQS.items():
+        toks = [alpha[t] for t in s.split()]
+        L = len(toks)
+        sub = out[out["user_id"] == ent]
+        singles = {t: toks.count(t) / L for t in set(toks)}
+        got0 = {r.tok_a: r.dp_freq for r in sub[sub["d"] == 0].itertuples()}
+        assert got0 == pytest.approx(singles)
+        for d in range(1, distance + 1):
+            prs: dict[tuple, int] = {}
+            for i in range(L - d):
+                prs[(toks[i], toks[i + d])] = prs.get((toks[i], toks[i + d]), 0) + 1
+            got = {
+                (r.tok_a, r.tok_b): r.dp_freq
+                for r in sub[sub["d"] == d].itertuples()
+            }
+            assert got == pytest.approx({k: v / (L - d) for k, v in prs.items()})
+
+
+def test_alphabet_registry_shapes():
+    # cp alphabet cluster counts match their names (feature.py:2574-2665)
+    for name, n in [("cp20", 20), ("cp19", 19), ("cp14", 14), ("cp13", 13)]:
+        alpha = PROTEIN_ALPHABETS[name]
+        assert len(alpha) == 20  # total tokens mapped
+        assert len(set(alpha.values())) == n
+    assert len(set(PROTEIN_ALPHABETS["ctriad7"].values())) == 7
+    assert len(set(PROTEIN_ALPHABETS["gaac5"].values())) == 5
+    assert set(EVENT_ALPHABETS["identity5"]) == {
+        "click", "error", "purchase", "signup", "view"
+    }
+
+
+def test_mean_impute_fills_with_entity_mean(spark):
+    from spark_pit.operators.encode import mean_impute
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 2.0), (2, None), (2, 8.0)],
+        "user_id long, v double",
+    )
+    out = mean_impute(df, "user_id", "v").toPandas().sort_values(
+        ["user_id", "v_filled"]
+    )
+    assert out["v_filled"].tolist() == [1.0, 1.5, 2.0, 8.0, 8.0]
+
+
+def test_mean_impute_all_null_entity_stays_null(spark):
+    from spark_pit.operators.encode import mean_impute
+
+    df = spark.createDataFrame([(1, None), (1, None)], "user_id long, v double")
+    out = mean_impute(df, "user_id", "v").toPandas()
+    assert out["v_filled"].isna().all()
+
+
+def test_gmm_separates_two_blobs(spark):
+    from spark_pit.operators.analysis import gmm_clusters
+
+    rng = np.random.default_rng(7)
+    # unit-variance blobs: near-zero variance degenerates EM covariance
+    rows = [(i, (rng.standard_normal(4) + (0.0 if i < 30 else 8.0)).tolist())
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    out = gmm_clusters(df, "vid", "emb", k=2, seed=42).toPandas()
+    a = set(out[out["vid"] < 30]["cluster"])
+    b = set(out[out["vid"] >= 30]["cluster"])
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert (out["max_prob"] > 0.99).all()
