@@ -67,8 +67,12 @@ def streaming_pit_features(
     (event_count, last_ts_us, last_nonnull_value) across micro-batches and
     emits per-row running features — the streaming analogue of the batch
     kernel's sessionize/backfill state."""
+    # derive key/time field types from the input schema (string entity keys
+    # and timestamp_ntz event times must round-trip unchanged)
+    ent_type = events.schema[entity].dataType.simpleString()
+    ts_type = events.schema[ts].dataType.simpleString()
     out_schema = (
-        f"{entity} long, {ts} timestamp, {value_col} double, "
+        f"{entity} {ent_type}, {ts} {ts_type}, {value_col} double, "
         "running_count long, gap_sec double, value_bf double"
     )
     state_schema = "count long, last_ts long, last_val double"

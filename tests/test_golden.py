@@ -19,7 +19,9 @@ def engine_out(spark):
     import tools.make_golden as mg
 
     return (
-        mg.build(spark).orderBy("image_id", "event_ts").toPandas().reset_index(drop=True)
+        mg.build(spark)
+        .orderBy("image_id", "event_ts", "fmt", "phash_pop", "caption_len", "aspect")
+        .toPandas().reset_index(drop=True)
     )
 
 
@@ -65,11 +67,13 @@ def test_zero_temporal_leakage_image_pipeline(spark):
     keep_cols = [c for c in base.columns if c not in ("lead1_phash_pop",)]
     a = (
         base.where(cut_expr).select(keep_cols)
-        .orderBy("image_id", "event_ts").toPandas().reset_index(drop=True)
+        .orderBy("image_id", "event_ts", "fmt", "phash_pop", "caption_len", "aspect")
+        .toPandas().reset_index(drop=True)
     )
     b = (
         pert.select(keep_cols)
-        .orderBy("image_id", "event_ts").toPandas().reset_index(drop=True)
+        .orderBy("image_id", "event_ts", "fmt", "phash_pop", "caption_len", "aspect")
+        .toPandas().reset_index(drop=True)
     )
     assert len(a) == len(b)
     for c in keep_cols:
