@@ -66,6 +66,68 @@ def pca_embeddings(
     )
 
 
+def bisecting_kmeans_clusters(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 4, seed: int = 42
+) -> DataFrame:
+    """The distributed analogue of the reference's sklearn Agglomerative
+    clustering row (feature.py:4824-4836): MLlib BisectingKMeans — a
+    hierarchical (divisive rather than agglomerative) clusterer, the MLlib
+    answer to hierarchy-shaped clustering at scale. Returns (id, cluster)."""
+    from pyspark.ml.clustering import BisectingKMeans
+
+    feats = _assemble(df, vec_col)
+    model = BisectingKMeans(k=k, seed=seed, featuresCol="__features").fit(feats)
+    return model.transform(feats).select(id_col, F.col("prediction").alias("cluster"))
+
+
+def pic_clusters(
+    edges: DataFrame,
+    src: str = "i",
+    dst: str = "j",
+    weight: str = "v",
+    k: int = 2,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The distributed analogue of the reference's sklearn SpectralClustering
+    row (feature.py:4852-4864): MLlib PowerIterationClustering — literally
+    the power-iteration approximation of spectral clustering on an affinity
+    graph. Input: symmetric weighted edges; returns (node, cluster)."""
+    from pyspark.ml.clustering import PowerIterationClustering
+
+    aff = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("double").alias("weight"),
+    )
+    pic = PowerIterationClustering(k=k, maxIter=max_iter, weightCol="weight")
+    return pic.assignClusters(aff).select(
+        F.col("id").alias("node"), F.col("cluster")
+    )
+
+
+def lda_topics(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 2, seed: int = 42
+) -> DataFrame:
+    """iAnalysis.LDA (feature.py:4968-4981, sklearn LatentDirichletAllocation
+    over the descriptor matrix) → ml.clustering.LDA over a nonnegative
+    count-vector column. Returns (id, topic, topic_weight) for the argmax
+    topic — the reference's transform() surface reduced to its hard
+    assignment + weight."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _assemble(df, vec_col)
+    model = LDA(k=k, seed=seed, maxIter=20, featuresCol="__features").fit(feats)
+    out = model.transform(feats).withColumn(
+        "__t", vector_to_array("topicDistribution")
+    )
+    return out.select(
+        id_col,
+        F.expr("array_position(__t, array_max(__t)) - 1").cast("int").alias("topic"),
+        F.round(F.array_max("__t"), 6).alias("topic_weight"),
+    )
+
+
 def channel_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
     """MarkvCluster's correlation-matrix seed (feature.py:5083-5094) as a
     long-format pairwise Pearson table over numeric channels — one

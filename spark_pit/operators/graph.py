@@ -169,6 +169,82 @@ def eigenvector_centrality(
     )
 
 
+def shortest_paths(
+    edges: DataFrame, entity: str, max_hops: int = 30
+) -> DataFrame:
+    """All-pairs hop distances per entity graph (the prerequisite for the
+    reference's nx.diameter / nx.average_shortest_path_length /
+    nx.closeness_centrality, feature.py:4602-4608): multi-source BFS as
+    frontier-expansion DataFrame joins. State is (entity, src, node, dist)
+    — O(V²) PER ENTITY, which is the reference's own regime (one bounded
+    contact graph per protein/user); across entities the work is fully
+    data-parallel and shuffle-partitioned on the entity key. Each hop is
+    one join + one anti-join (dedupe against settled pairs), lineage
+    truncated per hop; the loop exits when a frontier is empty (true BFS
+    distances, no cap on correctness — max_hops only bounds the worst case).
+    """
+    und = _undirected(edges, entity)
+    nodes = und.select(entity, "n").distinct()
+    settled = nodes.select(
+        entity, F.col("n").alias("src"), F.col("n").alias("node"),
+        F.lit(0).alias("dist"),
+    ).localCheckpoint()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        grown = (
+            frontier.join(
+                und.select(entity, F.col("n").alias("node"), F.col("m")),
+                [entity, "node"],
+            )
+            .select(entity, "src", F.col("m").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        fresh = grown.join(
+            settled.select(entity, "src", "node"), [entity, "src", "node"], "left_anti"
+        ).localCheckpoint()
+        if fresh.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(fresh).localCheckpoint()
+        frontier = fresh
+    return settled
+
+
+def path_stats(sp: DataFrame, entity: str) -> DataFrame:
+    """Per entity: diameter and average shortest path length over CONNECTED
+    ordered pairs (networkx raises on disconnected graphs, feature.py wraps
+    the call in try/except — here disconnected entities get within-component
+    stats instead, documented deviation)."""
+    pairs = sp.where(F.col("src") != F.col("node"))
+    return pairs.groupBy(entity).agg(
+        F.max("dist").alias("diameter"),
+        (F.sum("dist") / F.count(F.lit(1))).alias("avg_path_len"),
+    )
+
+
+def closeness_centrality(sp: DataFrame, entity: str) -> DataFrame:
+    """Per-node closeness (reference nx.closeness_centrality,
+    feature.py:4607), Wasserman–Faust form for disconnected graphs exactly
+    as networkx computes it: with r = nodes reachable from u (incl. u) and
+    n = nodes in the entity graph,  C(u) = ((r-1)/Σdist) · ((r-1)/(n-1))."""
+    n_nodes = sp.where(F.col("dist") == 0).groupBy(entity).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_src = sp.groupBy(entity, "src").agg(
+        F.count(F.lit(1)).alias("r"), F.sum("dist").alias("sd")
+    )
+    return (
+        per_src.join(F.broadcast(n_nodes), entity)
+        .select(
+            entity,
+            F.col("src").alias("node"),
+            F.when(
+                (F.col("sd") > 0) & (F.col("n") > 1),
+                ((F.col("r") - 1) / F.col("sd")) * ((F.col("r") - 1) / (F.col("n") - 1)),
+            ).otherwise(F.lit(0.0)).alias("closeness"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, entity: str, max_iter: int = 25
 ) -> DataFrame:

@@ -1958,6 +1958,69 @@ FROM reach GROUP BY user_id, n
 """
 
 
+_SP_SQL = f"""
+WITH RECURSIVE {_EPS_EDGES_SQL},
+nodes AS (SELECT DISTINCT user_id, n FROM edges),
+paths(user_id, src, node, d) AS (
+  SELECT user_id, n, n, 0 FROM nodes
+  UNION
+  SELECT e.user_id, p.src, e.m, p.d + 1
+  FROM paths p JOIN edges e ON e.user_id = p.user_id AND e.n = p.node
+  WHERE p.d < 30
+),
+sp AS (
+  SELECT user_id, src, node, min(d) AS dist
+  FROM paths GROUP BY user_id, src, node
+)"""
+
+
+def q_graph_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter + average shortest path length per ε-graph (reference
+    nx.diameter / nx.average_shortest_path_length, feature.py:4602-4603)
+    via the multi-source BFS operator; stats over connected pairs."""
+    from spark_pit.operators.graph import contact_edges, path_stats, shortest_paths
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "value")
+    edges = contact_edges(ev, "user_id", "event_id", "value", cutoff=0.3)
+    out = path_stats(shortest_paths(edges, "user_id"), "user_id")
+    return out.select(
+        "user_id", "diameter", F.round("avg_path_len", 6).alias("avg_path_len")
+    )
+
+
+Q_GRAPH_PATH_STATS_SQL = f"""{_SP_SQL}
+SELECT user_id, max(dist) AS diameter,
+       round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS avg_path_len
+FROM sp WHERE src <> node GROUP BY user_id
+"""
+
+
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node closeness centrality (reference nx.closeness_centrality,
+    feature.py:4607; Wasserman–Faust scaling for disconnected graphs, the
+    networkx default) from the same BFS distances."""
+    from spark_pit.operators.graph import closeness_centrality, contact_edges, shortest_paths
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "value")
+    edges = contact_edges(ev, "user_id", "event_id", "value", cutoff=0.3)
+    out = closeness_centrality(shortest_paths(edges, "user_id"), "user_id")
+    return out.select("user_id", "node", F.round("closeness", 6).alias("closeness"))
+
+
+Q_CLOSENESS_SQL = f"""{_SP_SQL},
+nn AS (SELECT user_id, count(*) AS n FROM nodes GROUP BY user_id),
+per_src AS (
+  SELECT user_id, src, count(*) AS r, sum(dist) AS sd
+  FROM sp GROUP BY user_id, src
+)
+SELECT p.user_id, p.src AS node,
+       round(CASE WHEN p.sd > 0 AND nn.n > 1
+             THEN (CAST(p.r - 1 AS DOUBLE) / p.sd) * (CAST(p.r - 1 AS DOUBLE) / (nn.n - 1))
+             ELSE 0.0 END, 6) AS closeness
+FROM per_src p JOIN nn ON p.user_id = nn.user_id
+"""
+
+
 # deterministic two-cluster fixture graph for the MCL registry query:
 # two triangles (1,2,3) and (4,5,6) joined by one weak bridge 3-4
 _MCL_EDGES = [
@@ -1986,6 +2049,46 @@ Q_MCL_CLUSTERS_SQL = """
 SELECT CAST(node AS BIGINT) AS node, CAST(cluster AS BIGINT) AS cluster
 FROM (VALUES (1, 3), (2, 3), (3, 3), (4, 4), (5, 4), (6, 4)) AS t(node, cluster)
 """
+
+
+def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib LDA over per-user event-type count vectors
+    (iAnalysis.LDA feature.py:4968-4981; variational EM is
+    platform-dependent → no value oracle)."""
+    from spark_pit.operators.analysis import lda_topics
+
+    counts = (
+        _ev(spark, sf_dir)
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_VOCAB)
+        .count()
+        .na.fill(0)
+    )
+    vecs = counts.select(
+        "user_id",
+        F.array(*[F.col(t).cast("double") for t in EVENT_VOCAB]).alias("counts"),
+    )
+    return lda_topics(vecs, "user_id", "counts", k=2, seed=42)
+
+
+def q_bisecting_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib BisectingKMeans over embeddings (the hierarchical-
+    clustering analogue of the reference's Agglomerative row,
+    feature.py:4824-4836)."""
+    from spark_pit.operators.analysis import bisecting_kmeans_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return bisecting_kmeans_clusters(emb, "vec_id", "embedding", k=4, seed=42)
+
+
+def q_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: MLlib PowerIterationClustering on the fixture affinity
+    graph (the spectral-clustering analogue of the reference's
+    SpectralClustering row, feature.py:4852-4864)."""
+    from spark_pit.operators.analysis import pic_clusters
+
+    edges = spark.createDataFrame(_MCL_EDGES, "i long, j long, v double")
+    return pic_clusters(edges, "i", "j", "v", k=2).orderBy("node")
 
 
 def q_gmm_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2028,7 +2131,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reduced-alphabet / seq-order / encoding / spatial / cross-entity
     "grouped_composition": q_grouped_composition,
     "stride_pairs": q_stride_pairs,
-    "lambda_tuples": q_lambda_tuples,
     "ctriad_minmax": q_ctriad_minmax,
     "ksc_triad": q_ksc_triad,
     "distance_pair": q_distance_pair,
@@ -2046,6 +2148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contact_graph_stats": q_contact_graph_stats,
     "eigen_centrality": q_eigen_centrality,
     "connected_components": q_connected_components,
+    "graph_path_stats": q_graph_path_stats,
     "mcl_clusters": q_mcl_clusters,
     "channel_correlation": q_channel_correlation,
     # text / dedup / similarity
@@ -2063,6 +2166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51+: oracle-backed overflow (families already checked in-window;
     # verified locally by the driver-faithful tools/check_oracle.py)
     "asof_join_inclusive": q_asof_join_inclusive,
+    "lambda_tuples": q_lambda_tuples,
+    "closeness_centrality": q_closeness_centrality,
     "cross_cov": q_cross_cov,
     "paac_weights": q_paac_weights,
     "grouped_window_composition": q_grouped_window_composition,
@@ -2081,6 +2186,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_embeddings": q_pca_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,
     "gmm_embeddings": q_gmm_embeddings,
+    "lda_topics": q_lda_topics,
+    "bisecting_kmeans": q_bisecting_kmeans,
+    "pic_clusters": q_pic_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2129,6 +2237,8 @@ ORACLES: dict[str, str] = {
     "mean_impute": Q_MEAN_IMPUTE_SQL,
     "eigen_centrality": Q_EIGEN_CENTRALITY_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
+    "graph_path_stats": Q_GRAPH_PATH_STATS_SQL,
+    "closeness_centrality": Q_CLOSENESS_SQL,
     "mcl_clusters": Q_MCL_CLUSTERS_SQL,
     "channel_correlation": Q_CHANNEL_CORRELATION_SQL,
     # embed_documents, pca_embeddings, kmeans_embeddings: rows-only

@@ -55,6 +55,35 @@ def test_eigenvector_centrality_star(spark):
     assert np.allclose(got, lead, atol=1e-3)
 
 
+def test_shortest_paths_and_stats(spark):
+    from spark_pit.operators.graph import (
+        closeness_centrality, path_stats, shortest_paths,
+    )
+
+    # entity 1: path graph 0-1-2-3 (known distances); entity 2: triangle + isolate pair
+    rows = [(1, 0, 1), (1, 1, 2), (1, 2, 3), (2, 0, 1), (2, 1, 2), (2, 0, 2), (2, 8, 9)]
+    sp = shortest_paths(_edges_df(spark, rows), "g").toPandas()
+    d = {(r.g, r.src, r.node): r.dist for r in sp.itertuples()}
+    assert d[(1, 0, 3)] == 3 and d[(1, 0, 2)] == 2 and d[(1, 1, 3)] == 2
+    assert d[(2, 0, 2)] == 1 and d[(2, 8, 9)] == 1
+    assert (2, 0, 8) not in d  # disconnected pair never materializes
+
+    st = path_stats(shortest_paths(_edges_df(spark, rows), "g"), "g").toPandas()
+    st = st.set_index("g")
+    assert st.loc[1, "diameter"] == 3
+    # path graph P4: ordered connected pairs 12, sum dist = 2*(1+2+3)+2*(1+2)+2*1 = 20
+    assert st.loc[1, "avg_path_len"] == 20 / 12
+    assert st.loc[2, "diameter"] == 1  # triangle and pair both diameter 1
+
+    # closeness matches the networkx Wasserman-Faust formula on P4:
+    # end node: r=4, sum=1+2+3=6 -> (3/6)*(3/3)=0.5 ; middle: sum=1+1+2=4 -> 0.75
+    cl = closeness_centrality(shortest_paths(_edges_df(spark, rows), "g"), "g").toPandas()
+    c = {(r.g, r.node): r.closeness for r in cl.itertuples()}
+    assert c[(1, 0)] == 0.5 and c[(1, 1)] == 0.75
+    # entity 2 disconnected: triangle node r=3, sum=2, n=5 -> (2/2)*(2/4)=0.5
+    assert c[(2, 0)] == 0.5
+
+
 def test_eigenvector_centrality_is_per_entity(spark):
     from spark_pit.operators.graph import eigenvector_centrality
 

@@ -117,6 +117,50 @@ def test_mean_impute_all_null_entity_stays_null(spark):
     assert out["v_filled"].isna().all()
 
 
+def test_bisecting_kmeans_separates_blobs(spark):
+    from spark_pit.operators.analysis import bisecting_kmeans_clusters
+
+    rng = np.random.default_rng(11)
+    rows = [(i, (rng.standard_normal(4) + (0.0 if i < 25 else 9.0)).tolist())
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    out = bisecting_kmeans_clusters(df, "vid", "emb", k=2, seed=42).toPandas()
+    a = set(out[out["vid"] < 25]["cluster"])
+    b = set(out[out["vid"] >= 25]["cluster"])
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_pic_cuts_weak_bridge(spark):
+    from spark_pit.operators.analysis import pic_clusters
+
+    edges = [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
+             (4, 5, 1.0), (4, 6, 1.0), (5, 6, 1.0), (3, 4, 0.05)]
+    df = spark.createDataFrame(edges, "i long, j long, v double")
+    out = pic_clusters(df, "i", "j", "v", k=2).toPandas()
+    c = dict(zip(out["node"], out["cluster"]))
+    assert c[1] == c[2] == c[3]
+    assert c[4] == c[5] == c[6]
+    assert c[1] != c[4]
+
+
+def test_lda_topics_shapes(spark):
+    from spark_pit.operators.analysis import lda_topics
+
+    rng = np.random.default_rng(5)
+    # two token-usage profiles -> count vectors
+    rows = []
+    for i in range(40):
+        base = [20, 1, 1] if i < 20 else [1, 1, 20]
+        rows.append((i, [float(v + rng.integers(0, 3)) for v in base]))
+    df = spark.createDataFrame(rows, "vid long, counts array<double>")
+    out = lda_topics(df, "vid", "counts", k=2, seed=42).toPandas()
+    assert len(out) == 40
+    assert set(out["topic"]) <= {0, 1}
+    assert (out["topic_weight"] >= 0.5 - 1e-9).all()
+    # the two profiles should land in different dominant topics
+    assert set(out[out["vid"] < 20]["topic"]) != set(out[out["vid"] >= 20]["topic"])
+
+
 def test_gmm_separates_two_blobs(spark):
     from spark_pit.operators.analysis import gmm_clusters
 
