@@ -106,6 +106,80 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cell assignment replaces the LSH
+    sign-bit bucket — the second scale path promised beside ann_lsh_topk.
+    Index: each vector is assigned to its nearest of ``n_cells`` centroids
+    (MLlib KMeans, one pass). Query: each vector probes its ``nprobe``
+    nearest cells; exact cosine only within probed cells, so the join is an
+    equi-join on cell id (shuffle on a small key). At 100 TB the centroid
+    table is tiny and broadcast; recall grows with nprobe (IVF trade-off).
+    Returns (qid, nid, rk, cos) like the other top-k operators."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col), _as_double(vec_col).alias(vec_col)
+    ).withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__features").fit(feats)
+    # centroid table: tiny, driver-side → literal array column for the
+    # probe ranking (no join, stays in codegen)
+    cents = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    v = F.col(vec_col)
+    # squared L2 distance to every centroid, rank, take nprobe cell ids
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)), F.lit(0.0),
+            lambda s, d: s + d,
+        ),
+    )
+    probed = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1, nprobe,
+    )
+    # home cell = nearest centroid (probe rank 1); probe list for the query side
+    base = feats.select(
+        id_col, vec_col, F.sqrt(_dot(v, v)).alias("norm")
+    ).withColumn("__home", probed[0]).withColumn("__probe", probed)
+    q = base.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"), F.explode("__probe").alias("cell"),
+    )
+    t = base.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+        F.col("norm").alias("nn"), F.col("__home").alias("cell"),
+    )
+    # each neighbor has exactly ONE home cell, so a (q, n) pair matches at
+    # most one probed cell — no dedup shuffle needed
+    pairs = q.join(t, "cell").where(F.col("qid") != F.col("nid")).select(
+        "qid", "nid",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.round("cos", 6).alias("cos"))
+    )
+
+
 def centroid_per_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label mean embedding + its L2 norm (summary scalar for parity)."""
     v = _as_double(vec_col)

@@ -1711,6 +1711,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_emb(spark, sf_dir), "vec_id", "embedding", k=5, n_planes=6)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF ANN (k-means cells + nprobe probing; centroid init is
+    platform-dependent → no value oracle). The second scale path beside the
+    sign-bit LSH, per SURVEY §2 similarity-search coverage."""
+    from spark_pit.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), "vec_id", "embedding", k=5, n_cells=8, nprobe=2)
+
+
 def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.similarity import centroid_per_label
 
@@ -2178,6 +2187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- rows-only (no SQL-expressible oracle; pytest-covered)
     "ann_mllib_lsh": q_ann_mllib_lsh,
     "ann_lsh": q_ann_lsh,
+    "ivf_topk": q_ivf_topk,
     "image_pit": q_image_pit,
     "image_fidelity": q_image_fidelity,
     "image_decode_stats": q_image_decode_stats,

@@ -65,6 +65,31 @@ def test_ann_lsh_subset_of_exact_cosines(vecs):
         assert grp.sort_values("rk")["rk"].tolist() == list(range(1, len(grp) + 1))
 
 
+def test_ivf_topk_exact_scores_and_planted_recall(spark):
+    """IVF results carry exact cosine values; planted near-identical pairs
+    (same cell by construction) are always retrieved as the top neighbor."""
+    from spark_pit.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(9)
+    n, d = 50, 8
+    mat = rng.standard_normal((n, d))
+    for i in range(10):  # rows 40..49 jitter rows 0..9
+        mat[40 + i] = mat[i] + rng.standard_normal(d) * 0.01
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [list(map(float, v)) for v in mat]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    got = ivf_topk(df, "vec_id", "embedding", k=3, n_cells=4, nprobe=2).toPandas()
+    m = mat.astype(np.float64)
+    # exactness of reported scores (float32 storage -> compare vs float32 cast)
+    m32 = mat.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(m32, axis=1)
+    for _, r in got.iterrows():
+        want = float(m32[int(r.qid)] @ m32[int(r.nid)] / (norms[int(r.qid)] * norms[int(r.nid)]))
+        assert r.cos == pytest.approx(want, abs=1e-6)
+    top1 = {q: grp.sort_values("rk")["nid"].iloc[0] for q, grp in got.groupby("qid")}
+    hits = sum(1 for i in range(10) if top1.get(40 + i) == i or top1.get(i) == 40 + i)
+    assert hits >= 9  # jittered twins share a cell; near-total recall
+
+
 def test_embedding_neardup_lsh_matches_exact(spark):
     """The LSH-bucketed near-dup path must reproduce the brute-force result
     on data with planted near-duplicates (recall 1.0 at 16 bands × 4 bits
