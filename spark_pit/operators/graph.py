@@ -245,6 +245,92 @@ def closeness_centrality(sp: DataFrame, entity: str) -> DataFrame:
     )
 
 
+def betweenness_centrality(
+    edges: DataFrame, entity: str, max_hops: int = 30
+) -> DataFrame:
+    """Betweenness centrality (reference nx.betweenness_centrality,
+    feature.py:4606; networkx-default NORMALIZED form, undirected:
+    raw/((n-1)(n-2)/2... scaled by 2/((n-1)(n-2)))) via Brandes' algorithm
+    as level-synchronized DataFrame sweeps over the BFS distances:
+
+    - forward: σ(src,v) = Σ_{u∈preds(v)} σ(src,u), one join + partial-agg
+      groupBy per BFS level (σ = number of shortest src→v paths)
+    - backward: δ(src,v) = Σ_{w∈succs(v)} σ_v/σ_w · (1+δ(src,w)), one join +
+      groupBy per level, deepest level first
+    - betweenness(v) = Σ_{src≠v} δ(src,v) / 2 (undirected double-count),
+      then the networkx normalization 2/((n-1)(n-2)).
+
+    Per-entity state is O(V²) like shortest_paths — the reference's own
+    per-graph regime; levels are bounded by the entity diameter, each level
+    is one partitioned join + one aggregation, lineage truncated per level.
+    """
+    und = _undirected(edges, entity)
+    sp = shortest_paths(edges, entity, max_hops)
+    d_max = sp.agg(F.max("dist")).first()[0] or 0
+    # ---- forward sweep: path counts σ per (src, node), level by level
+    sigma = sp.where(F.col("dist") == 0).select(
+        entity, "src", "node", F.lit(1).cast("double").alias("sigma")
+    ).localCheckpoint()
+    sig_levels = {0: sigma}
+    for d in range(1, d_max + 1):
+        lvl = sp.where(F.col("dist") == d).select(entity, "src", "node")
+        s = (
+            sig_levels[d - 1]
+            .join(und.select(entity, F.col("n").alias("node"), "m"), [entity, "node"])
+            .select(entity, "src", F.col("m").alias("node"), "sigma")
+            .join(lvl, [entity, "src", "node"])  # only true level-d nodes
+            .groupBy(entity, "src", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint()
+        )
+        sig_levels[d] = s
+    # ---- backward sweep: dependencies δ, deepest level first
+    delta_acc = None  # accumulated betweenness contributions per (entity, node)
+    delta_lvl = sig_levels[d_max].select(
+        entity, "src", "node", F.lit(0.0).alias("delta")
+    ) if d_max > 0 else None
+    for d in range(d_max, 0, -1):
+        w = sig_levels[d].join(
+            delta_lvl.select(entity, "src", "node", "delta"),
+            [entity, "src", "node"], "left",
+        ).na.fill({"delta": 0.0}).select(
+            entity, "src", F.col("node").alias("w"),
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("__coef"),  # (1+δw)/σw
+        )
+        contrib = (
+            w.join(und.select(entity, F.col("n").alias("w"), "m"), [entity, "w"])
+            .select(entity, "src", F.col("m").alias("node"), "__coef")
+            .join(sig_levels[d - 1], [entity, "src", "node"])  # preds only
+            .select(entity, "src", "node", (F.col("sigma") * F.col("__coef")).alias("c"))
+            .groupBy(entity, "src", "node")
+            .agg(F.sum("c").alias("delta"))
+            .localCheckpoint()
+        )
+        delta_lvl = contrib
+        part = contrib.where(F.col("src") != F.col("node")).groupBy(entity, "node").agg(
+            F.sum("delta").alias("b")
+        )
+        delta_acc = part if delta_acc is None else delta_acc.unionByName(part)
+    nodes = und.select(entity, "n").distinct()
+    n_nodes = nodes.groupBy(entity).agg(F.count(F.lit(1)).alias("__n"))
+    if delta_acc is None:
+        return nodes.select(entity, F.col("n").alias("node"), F.lit(0.0).alias("betweenness"))
+    raw = delta_acc.groupBy(entity, "node").agg((F.sum("b") / 2.0).alias("raw"))
+    return (
+        nodes.select(entity, F.col("n").alias("node"))
+        .join(raw, [entity, "node"], "left")
+        .na.fill({"raw": 0.0})
+        .join(F.broadcast(n_nodes), entity)
+        .select(
+            entity, "node",
+            F.when(
+                F.col("__n") > 2,
+                F.col("raw") * 2.0 / ((F.col("__n") - 1) * (F.col("__n") - 2)),
+            ).otherwise(F.lit(0.0)).alias("betweenness"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, entity: str, max_iter: int = 25
 ) -> DataFrame:

@@ -2100,6 +2100,28 @@ def q_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pic_clusters(edges, "i", "j", "v", k=2).orderBy("node")
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality (reference nx.betweenness_centrality,
+    feature.py:4606) over the fixture graph — two triangles joined by one
+    bridge, where the bridge endpoints carry all 6 crossing pairs:
+    raw 6 → normalized 6·2/(5·4) = 0.6, every other node 0. Pinned-values
+    oracle (Brandes is iterative, not SQL-expressible); the ε-graph-scale
+    path shares the operator and is pytest-covered (tests/test_graph_iter)."""
+    from spark_pit.operators.graph import betweenness_centrality
+
+    edges = spark.createDataFrame(
+        [(1, a, b) for (a, b, _w) in _MCL_EDGES], "g long, a long, b long"
+    )
+    out = betweenness_centrality(edges, "g")
+    return out.select("node", F.round("betweenness", 6).alias("betweenness")).orderBy("node")
+
+
+Q_BETWEENNESS_SQL = """
+SELECT CAST(node AS BIGINT) AS node, CAST(b AS DOUBLE) AS betweenness
+FROM (VALUES (1, 0.0), (2, 0.0), (3, 0.6), (4, 0.6), (5, 0.0), (6, 0.0)) AS t(node, b)
+"""
+
+
 def q_gmm_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: MLlib GaussianMixture over embeddings (iAnalysis.GM,
     feature.py:4809-4822; EM init is platform-dependent → no value oracle)."""
@@ -2177,6 +2199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_inclusive": q_asof_join_inclusive,
     "lambda_tuples": q_lambda_tuples,
     "closeness_centrality": q_closeness_centrality,
+    "betweenness": q_betweenness,
     "cross_cov": q_cross_cov,
     "paac_weights": q_paac_weights,
     "grouped_window_composition": q_grouped_window_composition,
@@ -2249,6 +2272,7 @@ ORACLES: dict[str, str] = {
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "graph_path_stats": Q_GRAPH_PATH_STATS_SQL,
     "closeness_centrality": Q_CLOSENESS_SQL,
+    "betweenness": Q_BETWEENNESS_SQL,
     "mcl_clusters": Q_MCL_CLUSTERS_SQL,
     "channel_correlation": Q_CHANNEL_CORRELATION_SQL,
     # embed_documents, pca_embeddings, kmeans_embeddings: rows-only

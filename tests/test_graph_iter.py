@@ -84,6 +84,38 @@ def test_shortest_paths_and_stats(spark):
     assert c[(2, 0)] == 0.5
 
 
+def test_betweenness_path_and_star(spark):
+    """Brandes sweeps vs hand-computed networkx-normalized values:
+    P4 (0-1-2-3): middles raw 2 -> 2*2/(3*2) = 0.666667, ends 0.
+    Star K1,4: center raw 6 -> 6*2/(4*3) = 1.0, leaves 0."""
+    import pytest as _pt
+
+    from spark_pit.operators.graph import betweenness_centrality
+
+    rows = [(1, 0, 1), (1, 1, 2), (1, 2, 3)] + [(2, 0, i) for i in range(1, 5)]
+    out = betweenness_centrality(_edges_df(spark, rows), "g").toPandas()
+    b = {(r.g, r.node): r.betweenness for r in out.itertuples()}
+    assert b[(1, 0)] == 0.0 and b[(1, 3)] == 0.0
+    assert b[(1, 1)] == _pt.approx(2 * 2 / (3 * 2))
+    assert b[(1, 2)] == _pt.approx(2 * 2 / (3 * 2))
+    assert b[(2, 0)] == _pt.approx(1.0)
+    assert all(b[(2, i)] == 0.0 for i in range(1, 5))
+
+
+def test_betweenness_multiple_shortest_paths(spark):
+    """4-cycle 0-1-2-3-0: (0,2) has TWO shortest paths (via 1 and via 3),
+    so each of 1 and 3 gets 0.5 from that pair; raw 0.5 -> 0.5*2/(3*2)."""
+    import pytest as _pt
+
+    from spark_pit.operators.graph import betweenness_centrality
+
+    rows = [(1, 0, 1), (1, 1, 2), (1, 2, 3), (1, 0, 3)]
+    out = betweenness_centrality(_edges_df(spark, rows), "g").toPandas()
+    b = dict(zip(out["node"], out["betweenness"]))
+    for v in range(4):
+        assert b[v] == _pt.approx(0.5 * 2 / (3 * 2)), v
+
+
 def test_eigenvector_centrality_is_per_entity(spark):
     from spark_pit.operators.graph import eigenvector_centrality
 
