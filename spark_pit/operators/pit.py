@@ -155,7 +155,7 @@ def pit_features_bucketed(
     snap_id: str = "snapshot_id",
     gap_seconds: int = 1800,
     width: int = 5,
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
     num_buckets: int = 256,
     passthrough: list[str] | None = None,
 ) -> DataFrame:
@@ -180,10 +180,17 @@ def pit_features_bucketed(
     code = {t: i for i, t in enumerate(vocab)}
     V = len(vocab)
     ent_type = events.schema[entity].dataType.simpleString()
-    tb = [tiebreak] if tiebreak else []
+    # tiebreak may be one dedicated column (emitted in the output, e.g.
+    # event_id) or a LIST of columns already among the kernel inputs
+    # (numeric/token/passthrough) — the list form lets callers get a fully
+    # deterministic sort without materializing a row_number() uid first,
+    # which would cost a whole extra sort exchange before the kernel
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
     pt = list(passthrough or [])
-    tb_field = (
-        f"{tiebreak} {events.schema[tiebreak].dataType.simpleString()}, " if tiebreak else ""
+    shared = {numeric_col, token_col, *pt}
+    tb_ded = [c for c in tb if c not in shared]  # dedicated tiebreak columns
+    tb_field = "".join(
+        f"{c} {events.schema[c].dataType.simpleString()}, " for c in tb_ded
     )
     pt_fields = "".join(
         f", {c} {events.schema[c].dataType.simpleString()}" for c in pt
@@ -228,7 +235,7 @@ def pit_features_bucketed(
             {
                 entity: ev[entity],
                 ts: ev[ts],
-                **({tiebreak: ev[tiebreak]} if tiebreak else {}),
+                **{c: ev[c] for c in tb_ded},
                 numeric_col: ev[numeric_col],
                 token_col: ev[token_col],
             }
@@ -305,7 +312,7 @@ def pit_features_bucketed(
         return out
 
     bkt = F.pmod(F.xxhash64(F.col(entity)), F.lit(num_buckets)).cast("int")
-    ev = events.select(entity, ts, *tb, numeric_col, token_col, *pt).withColumn("__b", bkt)
+    ev = events.select(entity, ts, *tb_ded, numeric_col, token_col, *pt).withColumn("__b", bkt)
     sn = snapshots.select(
         F.col(entity).alias("__se"), F.col(snap_ts), F.col(snap_id)
     ).withColumn("__b", F.pmod(F.xxhash64(F.col("__se")), F.lit(num_buckets)).cast("int"))

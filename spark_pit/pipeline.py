@@ -107,21 +107,24 @@ def image_pit_features(
     through the salted time-chunk path (north_rule: "Skew on hot image_ids
     is broken via salted repartitioning") — output identical either way
     (tests/test_skew equivalence + the shared golden fixture)."""
-    from pyspark.sql import Window
-
     ch = image_channels(images, with_pixel_stats=with_pixel_stats)
-    # deterministic per-entity row uid: (image_id, event_ts) is NOT unique
-    # (the generator deliberately emits timestamp collisions for as-of tie
-    # tests), so the uid both stabilizes kernel sort order (tiebreak) and
-    # keys the extras join uniquely
-    uid_w = Window.partitionBy("image_id").orderBy(
-        "event_ts", "fmt", "phash_pop", "caption_len", "aspect"
-    )
-    ch = ch.withColumn("uid", F.row_number().over(uid_w))
     snaps = snapshots.select("image_id", "snapshot_ts", "snapshot_id")
+    extra_cols = ["caption_len", "aspect"] + (
+        ["mean_lum", "std_gray"] if with_pixel_stats else []
+    )
     if hot_threshold is not None:
+        from pyspark.sql import Window
+
         from spark_pit.operators.skew import pit_features_salted
 
+        # the salted path needs ONE unique per-entity key for the extras
+        # join, so it materializes a row_number uid; (image_id, event_ts)
+        # is NOT unique (the generator deliberately emits timestamp
+        # collisions for as-of tie tests)
+        uid_w = Window.partitionBy("image_id").orderBy(
+            "event_ts", "fmt", "phash_pop", "caption_len", "aspect"
+        )
+        ch = ch.withColumn("uid", F.row_number().over(uid_w))
         fused = pit_features_salted(
             ch, snaps,
             entity="image_id", ts="event_ts",
@@ -130,21 +133,18 @@ def image_pit_features(
             chunk_seconds=chunk_seconds, hot_threshold=hot_threshold,
             tiebreak="uid",
         )
-        extra_cols = ["caption_len", "aspect"] + (
-            ["mean_lum", "std_gray"] if with_pixel_stats else []
-        )
         extra = ch.select("image_id", "uid", *extra_cols)
         return fused.join(extra, ["image_id", "uid"]).drop("uid")
-    # bucketed path: extra channels ride through the kernel (passthrough) —
-    # no second window branch, no extras join, one exchange fewer
-    extra_cols = ["caption_len", "aspect"] + (
-        ["mean_lum", "std_gray"] if with_pixel_stats else []
-    )
+    # bucketed path: extra channels ride through the kernel (passthrough,
+    # no extras join) and the deterministic tiebreak is the channel columns
+    # THEMSELVES — same total order a row_number uid would give, without the
+    # extra per-entity sort exchange the uid window used to cost
     fused = pit_features_bucketed(
         ch, snaps,
         entity="image_id", ts="event_ts",
         numeric_col="phash_pop", token_col="fmt", vocab=FMT_VOCAB,
         gap_seconds=gap_seconds, width=width, num_buckets=num_buckets,
-        tiebreak="uid", passthrough=extra_cols,
+        tiebreak=["fmt", "phash_pop", "caption_len", "aspect"],
+        passthrough=extra_cols,
     )
-    return fused.drop("uid")
+    return fused
