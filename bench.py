@@ -133,6 +133,12 @@ def main() -> None:
         "lagk_pairs": QUERIES["lagk_pairs"],
         "autocorr": QUERIES["autocorr"],
         "asdc": QUERIES["asdc"],
+        "ksc_triad": QUERIES["ksc_triad"],
+        # dedup marking, not pair emission: the sf0.1 documents table has a
+        # ~2,270-doc near-dup template cluster, so pair output is inherently
+        # quadratic (5.9M rows); marking is the 100 TB-shaped surface
+        "minhash_dedup_mark": QUERIES["minhash_dedup_mark"],
+        "embedding_neardup": QUERIES["embedding_neardup"],
         "pricing_summary": QUERIES["pricing_summary"],
         "revenue_by_nation": QUERIES["revenue_by_nation"],
     }

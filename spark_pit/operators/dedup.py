@@ -49,23 +49,30 @@ def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _minhash_wide(df: DataFrame, id_col: str, text_col: str, n_hashes: int) -> DataFrame:
+    """One groupBy(id) with n_hashes min-aggregate columns — all signature
+    minima in a SINGLE partial-aggregated shuffle with NO row blowup (the
+    seed-crossJoin formulation multiplies the token rows 16× before its
+    shuffle; at 10⁹ docs that is 16× shuffle I/O for the same result)."""
+    toks = _distinct_tokens(df, id_col, text_col).withColumn("th", tok_hash(F.col("tok")))
+    aggs = [
+        F.min((F.lit(a) * F.col("th") + F.lit(b)) % HASH_MOD).alias(f"__m{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS[:n_hashes])
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
 ) -> DataFrame:
     """(id, seed, minhash): min over distinct tokens of (a·h + b) mod M for
-    each of n_hashes seeded affine maps. The seed table is tiny → broadcast
-    cross join; the aggregation is a partial-agg groupBy on (id, seed)."""
-    spark = df.sparkSession
-    seeds = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_SEEDS[:n_hashes])],
-        "seed int, a long, b long",
+    each of n_hashes seeded affine maps. Computed as one wide aggregation
+    then stack-unpivoted to long form (map-side combine, zero blowup)."""
+    wide = _minhash_wide(df, id_col, text_col, n_hashes)
+    stack = "stack({n}, {args}) as (seed, minhash)".format(
+        n=n_hashes, args=", ".join(f"{i}, __m{i}" for i in range(n_hashes))
     )
-    toks = _distinct_tokens(df, id_col, text_col).withColumn("th", tok_hash(F.col("tok")))
-    return (
-        toks.crossJoin(F.broadcast(seeds))
-        .groupBy(id_col, "seed")
-        .agg(F.min((F.col("a") * F.col("th") + F.col("b")) % HASH_MOD).alias("minhash"))
-    )
+    return wide.select(id_col, F.expr(stack))
 
 
 def lsh_candidate_pairs(
@@ -87,18 +94,41 @@ def lsh_candidate_pairs(
             ).alias("band_sig")
         )
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("band"), F.col("band_sig")
-    )
+    return _band_join(banded, id_col)
+
+
+def _band_join(banded: DataFrame, id_col: str) -> DataFrame:
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
         a.join(b, ["band", "band_sig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_band_sigs(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int = 16, rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, band_sig) straight from the wide aggregation — the
+    banding is a pure column concat + stack, no collect_list regroup.
+    The fast path minhash_lsh_dedup uses (2 shuffles total to candidates:
+    the token agg and the band equi-join)."""
+    wide = _minhash_wide(df, id_col, text_col, n_hashes)
+    bands = n_hashes // rows_per_band
+    band_cols = [
+        F.concat_ws(
+            "-", *[F.col(f"__m{b * rows_per_band + j}").cast("string")
+                   for j in range(rows_per_band)]
+        ).alias(f"__band{b}")
+        for b in range(bands)
+    ]
+    stack = "stack({n}, {args}) as (band, band_sig)".format(
+        n=bands, args=", ".join(f"{b}, __band{b}" for b in range(bands))
+    )
+    return wide.select(id_col, *band_cols).select(id_col, F.expr(stack))
 
 
 def jaccard_for_pairs(
@@ -137,11 +167,54 @@ def minhash_lsh_dedup(
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Full near-dup pipeline: signatures → LSH candidates → exact verify."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    """Full near-dup pipeline: signatures → LSH candidates → exact verify.
+    Candidates come from the wide-agg band path (one token-agg shuffle +
+    one band equi-join; no seed row blowup, no collect_list regroup)."""
+    banded = minhash_band_sigs(df, id_col, text_col, n_hashes, rows_per_band)
+    pairs = _band_join(banded, id_col)
     return jaccard_for_pairs(pairs, df, id_col, text_col).where(
         F.col("jaccard") >= threshold
+    )
+
+
+def minhash_dedup_mark(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Per-DOC dup marking — the semantics a 100 TB pipeline actually runs.
+    ``minhash_lsh_dedup`` emits all near-dup PAIRS, which is inherently
+    quadratic in the duplicate-cluster size (a 2,270-doc template cluster
+    in the sf0.1 table yields ~2.5M pairs per band); this operator instead
+    STAR-joins every doc to the MIN id of each band group it belongs to —
+    O(group size) candidates per group — verifies exact Jaccard on those,
+    and emits (id, is_dup, dup_of=min verified canonical). Docs whose only
+    similarity to the canonical is below threshold stay unmarked (one-hop
+    star semantics, the standard trade for linear candidates; full clusters
+    = connected_components over the verified pairs)."""
+    banded = minhash_band_sigs(df, id_col, text_col, n_hashes, rows_per_band)
+    gmin = banded.groupBy("band", "band_sig").agg(F.min(id_col).alias("id_a"))
+    cand = (
+        banded.join(gmin, ["band", "band_sig"])
+        .where(F.col(id_col) > F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    verified = jaccard_for_pairs(cand, df, id_col, text_col).where(
+        F.col("jaccard") >= threshold
+    )
+    dup = verified.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        df.select(F.col(id_col))
+        .join(dup.withColumnRenamed("id_b", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
     )
 
 

@@ -1601,6 +1601,63 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.2
 """
 
 
+def q_minhash_dedup_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc dup marking via band-group star join (linear candidates even
+    with giant duplicate clusters) — the scale-shaped dedup surface; the
+    pair-emitting minhash_lsh_dedup stays as the exact-pair-set query."""
+    from spark_pit.operators.dedup import minhash_dedup_mark
+
+    return minhash_dedup_mark(_docs(spark, sf_dir), "doc_id", "text", threshold=0.2)
+
+
+Q_MINHASH_MARK_SQL = """
+WITH seeds AS (
+  SELECT i AS seed, 2 * i + 1 AS a, 7919 * (i + 1) AS b
+  FROM generate_series(0, 15) AS t(i)
+),
+toks AS (
+  SELECT DISTINCT doc_id, tok,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS th
+  FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(tok)
+),
+sigs AS (
+  SELECT t.doc_id, s.seed, min((s.a * t.th + s.b) % 1000000007) AS minhash
+  FROM toks t CROSS JOIN seeds s GROUP BY t.doc_id, s.seed
+),
+banded AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+gmin AS (
+  SELECT band, band_sig, min(doc_id) AS id_a FROM banded GROUP BY band, band_sig
+),
+cand AS (
+  SELECT DISTINCT g.id_a, b.doc_id AS id_b
+  FROM banded b JOIN gmin g ON b.band = g.band AND b.band_sig = g.band_sig
+  WHERE b.doc_id > g.id_a
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+),
+dup AS (
+  SELECT i.id_b, min(i.id_a) AS dup_of
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.2
+  GROUP BY i.id_b
+)
+SELECT d.doc_id, u.dup_of IS NOT NULL AS is_dup, u.dup_of
+FROM documents d LEFT JOIN dup u ON d.doc_id = u.id_b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.dedup import simhash
 
@@ -2200,6 +2257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lambda_tuples": q_lambda_tuples,
     "closeness_centrality": q_closeness_centrality,
     "betweenness": q_betweenness,
+    "minhash_dedup_mark": q_minhash_dedup_mark,
     "cross_cov": q_cross_cov,
     "paac_weights": q_paac_weights,
     "grouped_window_composition": q_grouped_window_composition,
@@ -2284,6 +2342,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "minhash_signatures": Q_MINHASH_SQL,
     "minhash_lsh_dedup": Q_MINHASH_LSH_SQL,
+    "minhash_dedup_mark": Q_MINHASH_MARK_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "cosine_topk": Q_COSINE_TOPK_SQL,

@@ -48,6 +48,25 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(a == 1 and b in (4, 5, 6) for a, b in pairs)
 
 
+def test_minhash_dedup_mark_star_semantics(docs):
+    out = dedup.minhash_dedup_mark(docs, "doc_id", "text", threshold=0.5).toPandas()
+    m = out.set_index("doc_id")
+    assert bool(m.loc[2, "is_dup"]) and m.loc[2, "dup_of"] == 1
+    assert not bool(m.loc[1, "is_dup"])  # group min is the canonical copy
+    assert not bool(m.loc[4, "is_dup"])
+    assert len(out) == 6  # every doc gets a row
+
+
+def test_minhash_dedup_mark_linear_in_cluster(spark):
+    """A 40-doc identical cluster yields 39 candidate verifications (star),
+    and every non-canonical member is marked against the min id."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.minhash_dedup_mark(df, "doc_id", "text", threshold=0.5).toPandas()
+    assert out["is_dup"].sum() == 39
+    assert set(out[out["is_dup"]]["dup_of"]) == {0}
+
+
 def test_jaccard_value_correct(docs, spark):
     pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [3]}))
     out = dedup.jaccard_for_pairs(pairs, docs, "doc_id", "text").toPandas()
