@@ -244,6 +244,51 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    chunks: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash bucket-pairing (the candidate stage the sketch exists for):
+    split each ``bits``-bit sketch into ``chunks`` equal chunks; by
+    pigeonhole, any pair at hamming distance ≤ chunks-1 agrees on at least
+    one whole chunk, so an equi-join on (chunk_idx, chunk_value) generates
+    candidates with EXACT recall for max_hamming ≤ chunks-1 — no
+    probabilistic miss, unlike minhash banding. Exact hamming (xor +
+    popcount, JVM-side) verifies candidates. Returns (id_a, id_b, hamming)
+    with hamming ≤ max_hamming."""
+    if max_hamming > chunks - 1:
+        raise ValueError("exact recall needs max_hamming <= chunks - 1")
+    sk = simhash(df, id_col, text_col, bits)
+    cw = bits // chunks
+    mask = (1 << cw) - 1
+    chunk_cols = [
+        (F.shiftright(F.col("simhash"), c * cw).bitwiseAND(F.lit(mask))).alias(f"__c{c}")
+        for c in range(chunks)
+    ]
+    stack = "stack({n}, {args}) as (chunk, val)".format(
+        n=chunks, args=", ".join(f"{c}, __c{c}" for c in range(chunks))
+    )
+    keyed = sk.select(id_col, "simhash", *chunk_cols).select(
+        id_col, "simhash", F.expr(stack)
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sk_a"), "chunk", "val")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sk_b"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc, as rows."""
     toks = tokens(F.col(text_col))

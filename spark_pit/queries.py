@@ -1685,6 +1685,40 @@ FROM sums GROUP BY doc_id
 """
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucket-pairing: pairs at hamming ≤ 2 over the 16-bit sketch.
+    The engine generates candidates from the chunk equi-join (pigeonhole-
+    exact recall for hamming ≤ 3); the oracle computes the exhaustive
+    all-pairs hamming — passing proves the chunked path loses nothing."""
+    from spark_pit.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_SIMHASH_NEARDUP_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS th
+  FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(tok)
+),
+contrib AS (
+  SELECT doc_id, b.bit AS bit, 2 * ((th >> b.bit) & 1) - 1 AS c
+  FROM toks CROSS JOIN (SELECT i AS bit FROM generate_series(0, 15) AS t(i)) b
+),
+sums AS (SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit),
+sk AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup with the hot-shingle cap ACTIVE (max_df=100):
     candidates only from shingles appearing in ≤100 docs; exact full-set
@@ -2258,6 +2292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "closeness_centrality": q_closeness_centrality,
     "betweenness": q_betweenness,
     "minhash_dedup_mark": q_minhash_dedup_mark,
+    "simhash_neardup": q_simhash_neardup,
     "cross_cov": q_cross_cov,
     "paac_weights": q_paac_weights,
     "grouped_window_composition": q_grouped_window_composition,
@@ -2343,6 +2378,7 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": Q_MINHASH_SQL,
     "minhash_lsh_dedup": Q_MINHASH_LSH_SQL,
     "minhash_dedup_mark": Q_MINHASH_MARK_SQL,
+    "simhash_neardup": Q_SIMHASH_NEARDUP_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "cosine_topk": Q_COSINE_TOPK_SQL,

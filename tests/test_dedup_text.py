@@ -67,6 +67,24 @@ def test_minhash_dedup_mark_linear_in_cluster(spark):
     assert set(out[out["is_dup"]]["dup_of"]) == {0}
 
 
+def test_simhash_neardup_exact_recall(spark):
+    """Chunked candidates must equal the exhaustive hamming<=2 pair set."""
+    import itertools
+
+    rows = [(i, f"shared tokens alpha beta gamma delta {w}") for i, w in
+            enumerate(["one", "two", "three", "one", "four", "five"])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = dedup.simhash_neardup_pairs(df, "doc_id", "text", max_hamming=2).toPandas()
+    sk = dedup.simhash(df, "doc_id", "text").toPandas().set_index("doc_id")["simhash"]
+    want = {
+        (a, b): bin(int(sk[a]) ^ int(sk[b])).count("1")
+        for a, b in itertools.combinations(sorted(sk.index), 2)
+        if bin(int(sk[a]) ^ int(sk[b])).count("1") <= 2
+    }
+    assert {(r.id_a, r.id_b): r.hamming for r in got.itertuples()} == want
+    assert want[(0, 3)] == 0  # identical docs -> identical sketch
+
+
 def test_jaccard_value_correct(docs, spark):
     pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [3]}))
     out = dedup.jaccard_for_pairs(pairs, docs, "doc_id", "text").toPandas()
