@@ -96,6 +96,21 @@ def test_alphabet_registry_shapes():
     }
 
 
+def test_property_tables_zscale_channels(spark):
+    """The real ZScale/AESNN3 tables (feature.py:1335-1362 / 998-1025) feed
+    encode.property_channel per channel — the XMAP family with its actual
+    parameters rather than the behavioral stand-in."""
+    from spark_pit.alphabets import AESNN3, ZSCALE, property_tables
+    from spark_pit.operators.encode import property_channel
+
+    chans = property_tables(ZSCALE)
+    assert set(chans) == {"z1", "z2", "z3", "z4", "z5"}
+    df = spark.createDataFrame([(1, "A"), (2, "W"), (3, "-")], "i long, aa string")
+    out = property_channel(df, "aa", chans["z2"], out="z2").toPandas().set_index("i")
+    assert out.loc[1, "z2"] == -2.32 and out.loc[2, "z2"] == 3.94 and out.loc[3, "z2"] == 0.0
+    assert len(property_tables(AESNN3)) == 3
+
+
 def test_mean_impute_fills_with_entity_mean(spark):
     from spark_pit.operators.encode import mean_impute
 
