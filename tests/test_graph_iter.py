@@ -4,6 +4,7 @@ connected components (min-label propagation) on graphs with known answers."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 
 def _edges_df(spark, rows):
@@ -114,6 +115,68 @@ def test_betweenness_multiple_shortest_paths(spark):
     b = dict(zip(out["node"], out["betweenness"]))
     for v in range(4):
         assert b[v] == _pt.approx(0.5 * 2 / (3 * 2)), v
+
+
+def _brandes_brute(edges):
+    """Reference Brandes on one small graph, networkx-normalized."""
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    bet = {v: 0.0 for v in nodes}
+    for s in nodes:
+        stack, pred = [], {v: [] for v in nodes}
+        sigma = {v: 0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        sigma[s], dist[s] = 1, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bet[w] += delta[w]
+    n = len(nodes)
+    scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 0.0  # /2 undirected * 2/((n-1)(n-2))
+    return {v: bet[v] * scale for v in nodes}
+
+
+def test_betweenness_random_graphs_match_brute(spark):
+    """Five seeded random graphs (one entity each, ONE Spark job) vs the
+    pure-Python Brandes reference — covers branching, multiple shortest
+    paths, and disconnected remainders."""
+    rng = np.random.default_rng(123)
+    from spark_pit.operators.graph import betweenness_centrality
+
+    all_rows, want = [], {}
+    for g in range(5):
+        k = int(rng.integers(6, 11))
+        cand = [(a, b) for a in range(k) for b in range(a + 1, k)]
+        m = int(rng.integers(k - 1, len(cand)))
+        idx = rng.choice(len(cand), size=m, replace=False)
+        edges = [cand[i] for i in idx]
+        all_rows += [(g, a, b) for a, b in edges]
+        for v, x in _brandes_brute(edges).items():
+            want[(g, v)] = x
+    out = betweenness_centrality(_edges_df(spark, all_rows), "g").toPandas()
+    got = {(r.g, r.node): r.betweenness for r in out.itertuples()}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-9), key
 
 
 def test_eigenvector_centrality_is_per_entity(spark):
