@@ -57,6 +57,94 @@ def streaming_session_stats(
     )
 
 
+def streaming_asof_features(
+    tagged: DataFrame,
+    entity: str,
+    ts: str,
+    event_id_col: str = "event_id",
+    snap_id_col: str = "snapshot_id",
+    is_snap_col: str = "is_snap",
+) -> DataFrame:
+    """Streaming as-of join — the stateful-streaming twin of the batch
+    engine's strictly-before PIT match (operators/asof.py). Input: ONE
+    tagged stream (events ∪ snapshots, ``is_snap`` boolean) keyed by
+    entity; state per entity = the latest snapshot (id, ts) seen. Within a
+    micro-batch rows are event-time sorted with events BEFORE snapshots on
+    ts ties (strictly-before semantics: a snapshot at t is invisible to an
+    event at t), and the match itself is one vectorized ``pd.merge_asof``
+    against the batch's snapshots with the carried state prepended —
+    identical kernel math to the batch path.
+
+    Cross-batch correctness holds when per-entity arrival is event-time
+    ordered across micro-batches (file sources / watermark-sorted
+    upstreams); within a batch arbitrary disorder is fine. The state is
+    O(1) per entity (latest snapshot only), so a 10⁹-entity stream holds
+    ~tens of GB of state across executors — the streaming-state shape that
+    scales."""
+    ent_type = tagged.schema[entity].dataType.simpleString()
+    ts_type = tagged.schema[ts].dataType.simpleString()
+    out_schema = (
+        f"{entity} {ent_type}, {ts} {ts_type}, {event_id_col} long, "
+        "asof_snapshot_id long, asof_age_sec double"
+    )
+    state_schema = "last_snap_id long, last_snap_ts long"
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        last_id, last_ts = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            ts_us = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            pdf = pdf.assign(__ts_us=ts_us)
+            is_snap = pdf[is_snap_col].to_numpy(dtype=bool)
+            ev = pdf[~is_snap].sort_values("__ts_us", kind="stable")
+            # max snapshot_id wins ts ties, matching the batch path's
+            # right_order="snapshot_id"
+            sn = pdf[is_snap].sort_values(["__ts_us", snap_id_col], kind="stable")
+            snap_ts = sn["__ts_us"].to_numpy(dtype="int64")
+            snap_id = sn[snap_id_col].to_numpy(dtype="float64")
+            if last_id is not None:  # carried state = snapshot before batch
+                snap_ts = np.concatenate([[last_ts], snap_ts])
+                snap_id = np.concatenate([[float(last_id)], snap_id])
+            if len(ev):
+                right = pd.DataFrame({"__ts_us": snap_ts, "__sid": snap_id})
+                merged = pd.merge_asof(
+                    ev[["__ts_us"]], right, on="__ts_us",
+                    allow_exact_matches=False, direction="backward",
+                )
+                sid = merged["__sid"].to_numpy()
+                sts = np.full(len(ev), np.nan)
+                has = ~np.isnan(sid)
+                # recover matched ts for ages: searchsorted on the right side
+                pos = np.searchsorted(snap_ts, ev["__ts_us"].to_numpy(), side="left") - 1
+                sts[has] = snap_ts[pos[has]]
+                yield pd.DataFrame(
+                    {
+                        entity: ev[entity],
+                        ts: ev[ts],
+                        event_id_col: ev[event_id_col],
+                        "asof_snapshot_id": pd.array(
+                            [int(s) if not np.isnan(s) else pd.NA for s in sid],
+                            dtype="Int64",
+                        ),
+                        "asof_age_sec": (ev["__ts_us"].to_numpy() - sts) / 1e6,
+                    }
+                )
+            if len(sn):
+                last_ts = int(sn["__ts_us"].iloc[-1])
+                last_id = int(sn[snap_id_col].iloc[-1])
+        if last_id is not None:
+            state.update((last_id, last_ts))
+
+    return tagged.groupBy(entity).applyInPandasWithState(
+        fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_pit_features(
     events: DataFrame,
     entity: str,

@@ -75,6 +75,64 @@ def test_streaming_stateful_backfill(spark, sf_dir, tmp_path):
         assert (rc == np.arange(1, len(g) + 1)).all()
 
 
+def test_streaming_asof_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful streaming as-of join must reproduce the batch
+    strictly-before join exactly (AvailableNow over one file = ordered
+    arrival, the documented correctness regime)."""
+    from spark_pit.operators.asof import asof_join_window
+    from spark_pit.streaming import streaming_asof_features
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}")  # directory scan picks up sibling tables
+        .where(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "event_id",
+            (F.col("event_type") == "purchase").alias("is_snap"),
+            F.when(F.col("event_type") == "purchase", F.col("event_id"))
+            .alias("snapshot_id"),
+        )
+    )
+    out = streaming_asof_features(raw, "user_id", "ts")
+    q = (
+        out.writeStream.format("memory").queryName("asofstate")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_asof"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from asofstate").toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("snapshot_ts"),
+        F.col("event_id").alias("snapshot_id"),
+    )
+    events = ev.where(F.col("event_type") != "purchase").select("event_id", "user_id", "ts")
+    want = (
+        asof_join_window(
+            events, snaps, ["user_id"], "ts", "snapshot_ts",
+            ["snapshot_id"], strict=True, right_order="snapshot_id",
+        )
+        .select("event_id", F.col("asof_snapshot_id"))
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # streaming emits only non-snapshot events
+    assert len(got) == len(want)
+    ga = got["asof_snapshot_id"].astype("Int64")
+    wa = want["asof_snapshot_id"].astype("Int64")
+    assert (ga.isna() == wa.isna()).all()
+    assert (ga.dropna().to_numpy() == wa.dropna().to_numpy()).all()
+
+
 def test_catalog_parquet_fallback(spark, sf_dir):
     assert not iceberg_available(spark)
     df = read_table(spark, f"{sf_dir}/events.parquet")
