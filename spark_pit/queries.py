@@ -1796,10 +1796,59 @@ SELECT qid, nid, rk, round(cos, 6) AS cos FROM ranked WHERE rk <= 5
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: LSH-bucketed ANN (hyperplanes are engine-internal)."""
+    """LSH-bucketed ANN — now ORACLE-backed: the seeded hyperplanes are
+    deterministic driver-side literals, so the oracle embeds the exact same
+    plane constants and replicates bucket assignment bit-for-bit (both
+    engines fold the projection sequentially in index order, the repo's
+    cross-engine float convention)."""
     from spark_pit.operators.similarity import ann_lsh_topk
 
     return ann_lsh_topk(_emb(spark, sf_dir), "vec_id", "embedding", k=5, n_planes=6)
+
+
+def _ann_lsh_sql(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    from spark_pit.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    plane_lits = ", ".join(
+        "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p) + "]" for p in planes
+    )
+    # bucket bit j = sign of the sequential left-fold dot(v, plane_j)
+    bit_terms = " + ".join(
+        f"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             [CAST(embedding[i] AS DOUBLE) * pl[{j + 1}][i]
+              for i in generate_series(1, len(embedding))]),
+             (s, v) -> s + v) > 0 THEN {2**j} ELSE 0 END"""
+        for j in range(n_planes)
+    )
+    return f"""
+WITH pls AS (SELECT [{plane_lits}] AS pl),
+base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+           (a, b) -> a + b)) AS norm,
+         ({bit_terms}) AS bucket
+  FROM embeddings CROSS JOIN pls
+),
+prs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+            for i in generate_series(1, len(a.embedding))]),
+           (s, v) -> s + v) / (a.norm * b.norm) AS cos
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+  FROM prs
+)
+SELECT qid, nid, rk, round(cos, 6) AS cos FROM ranked WHERE rk <= 5
+"""
+
+
+Q_ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2293,6 +2342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "betweenness": q_betweenness,
     "minhash_dedup_mark": q_minhash_dedup_mark,
     "simhash_neardup": q_simhash_neardup,
+    "ann_lsh": q_ann_lsh,
     "cross_cov": q_cross_cov,
     "paac_weights": q_paac_weights,
     "grouped_window_composition": q_grouped_window_composition,
@@ -2302,7 +2352,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders": q_topk_orders,
     # --- rows-only (no SQL-expressible oracle; pytest-covered)
     "ann_mllib_lsh": q_ann_mllib_lsh,
-    "ann_lsh": q_ann_lsh,
     "ivf_topk": q_ivf_topk,
     "image_pit": q_image_pit,
     "image_fidelity": q_image_fidelity,
@@ -2379,6 +2428,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_dedup": Q_MINHASH_LSH_SQL,
     "minhash_dedup_mark": Q_MINHASH_MARK_SQL,
     "simhash_neardup": Q_SIMHASH_NEARDUP_SQL,
+    "ann_lsh": Q_ANN_LSH_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "cosine_topk": Q_COSINE_TOPK_SQL,
