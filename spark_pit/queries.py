@@ -1111,6 +1111,60 @@ def q_image_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*cols)
 
 
+_IMG_SUM_COLS = [
+    "asof_age_sec", "lag1_phash_pop", "lead1_phash_pop", "phash_pop_bf",
+    "caption_len", "aspect", "wc_gif", "wc_jpeg", "wc_png", "wc_webp",
+]
+
+
+def q_image_pit_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable numeric pin of the ENTIRE image flagship: one row
+    of exact-decimal column sums + non-null counts + session totals over
+    the deterministic seed-42 pipeline output (the same frame the golden
+    fixture freezes). The oracle is the pinned expected row — any numeric
+    drift anywhere in the fused kernel, the as-of match, the sessionizer,
+    or the channel derivation flips the hash."""
+    out = q_image_pit(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.sum("session_id").alias("sum_session_id"),
+            F.sum("session_pos").alias("sum_session_pos"),
+            F.count("asof_snapshot_id").alias("n_matched")]
+    for c in _IMG_SUM_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(28,6)")).cast("double").alias(f"sum_{c}")
+        )
+        aggs.append(F.count(c).alias(f"n_{c}"))
+    return out.agg(*aggs)
+
+
+def _image_pit_checksums_oracle(pinned: dict) -> str:
+    cols = ", ".join(
+        f"CAST({v!r} AS DOUBLE) AS {k}" if isinstance(v, float)
+        else f"CAST({v} AS BIGINT) AS {k}"
+        for k, v in pinned.items()
+    )
+    return f"SELECT {cols}"
+
+
+# pinned by running the seed-42 pipeline once; regenerate ONLY on an
+# intentional semantic change, like the golden fixture (README Running)
+_IMAGE_PIT_PINNED: dict = {
+    "n_rows": 564, "sum_session_id": 0, "sum_session_pos": 4782,
+    "n_matched": 465, "sum_asof_age_sec": 6501076.0, "n_asof_age_sec": 465,
+    "sum_lag1_phash_pop": 16765.0, "n_lag1_phash_pop": 524,
+    "sum_lead1_phash_pop": 16766.0, "n_lead1_phash_pop": 524,
+    "sum_phash_pop_bf": 18045.0, "n_phash_pop_bf": 564,
+    "sum_caption_len": 47469.0, "n_caption_len": 564,
+    "sum_aspect": 796.627856, "n_aspect": 564,
+    "sum_wc_gif": 0.0, "n_wc_gif": 564,
+    "sum_wc_jpeg": 188.816662, "n_wc_jpeg": 564,
+    "sum_wc_png": 186.93333, "n_wc_png": 564,
+    "sum_wc_webp": 0.0, "n_wc_webp": 564,
+}
+
+Q_IMAGE_PIT_CHECKSUMS_SQL = _image_pit_checksums_oracle(_IMAGE_PIT_PINNED)
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: iterator-UDF embedding extraction (token-budget batching,
     model-once-per-worker) — §2.10 notebook pipeline analogue."""
@@ -2312,8 +2366,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shell_composition": q_shell_composition,
     "knn_label_fractions": q_knn_label_fractions,
     "equal_length_stats": q_equal_length_stats,
-    "zip_label_join": q_zip_label_join,
     "grouped_kspaced_pairs": q_grouped_kspaced_pairs,
+    # the north-rule image flagship, driver-verified via exact-decimal
+    # checksums of every feature column (golden fixture's numeric twin)
+    "image_pit_checksums": q_image_pit_checksums,
     # graph / analysis plane
     "embedding_neardup": q_embedding_neardup,
     "contact_graph_stats": q_contact_graph_stats,
@@ -2343,6 +2399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_mark": q_minhash_dedup_mark,
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh": q_ann_lsh,
+    "zip_label_join": q_zip_label_join,
     "cross_cov": q_cross_cov,
     "paac_weights": q_paac_weights,
     "grouped_window_composition": q_grouped_window_composition,
@@ -2429,6 +2486,7 @@ ORACLES: dict[str, str] = {
     "minhash_dedup_mark": Q_MINHASH_MARK_SQL,
     "simhash_neardup": Q_SIMHASH_NEARDUP_SQL,
     "ann_lsh": Q_ANN_LSH_SQL,
+    "image_pit_checksums": Q_IMAGE_PIT_CHECKSUMS_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "cosine_topk": Q_COSINE_TOPK_SQL,
