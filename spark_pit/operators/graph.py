@@ -245,6 +245,63 @@ def closeness_centrality(sp: DataFrame, entity: str) -> DataFrame:
     )
 
 
+def dbscan_clusters(
+    edges: DataFrame,
+    nodes: DataFrame,
+    entity: str,
+    min_pts: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """EXACT distributed DBSCAN given the ε-neighbor pair list (reference
+    iAnalysis DBSCAN row, feature.py:4838-4850 — sklearn's is exact too;
+    the distributed re-expression): a node is CORE iff its ε-neighborhood
+    (itself included) has ≥ min_pts members; clusters are the connected
+    components of the core-core subgraph; a non-core node adjacent to a
+    core joins that core's cluster (smallest cluster id on ties, the
+    deterministic choice sklearn leaves unspecified); everything else is
+    NOISE (cluster NULL). ``edges`` is whatever ε-pair generator fits the
+    space — the banded 1-D contact_edges here, the LSH candidates for
+    embeddings — so the density scan itself is one degree aggregation, and
+    the only iteration is min-label propagation over core edges.
+
+    Returns (entity, node, is_core, cluster) for EVERY node in ``nodes``
+    (isolated points included — noise)."""
+    und = _undirected(edges, entity)
+    deg = und.groupBy(entity, "n").agg(F.count(F.lit(1)).alias("deg"))
+    base = nodes.select(entity, F.col(nodes.columns[1]).alias("n")).distinct()
+    marked = (
+        base.join(deg, [entity, "n"], "left")
+        .na.fill({"deg": 0})
+        .withColumn("is_core", F.col("deg") + 1 >= min_pts)
+        .select(entity, "n", "is_core")
+    )
+    core = marked.where("is_core").select(entity, "n")
+    core_edges = (
+        edges.join(core.withColumnRenamed("n", "a"), [entity, "a"])
+        .join(core.withColumnRenamed("n", "b"), [entity, "b"])
+        .select(entity, "a", "b")
+    )
+    cc = connected_components(core_edges, entity, max_iter).withColumnRenamed(
+        "node", "n"
+    )
+    # isolated core points (no core neighbor) form singleton clusters
+    core_cl = core.join(cc, [entity, "n"], "left").select(
+        entity, "n", F.coalesce("component", F.col("n")).alias("cluster")
+    )
+    # border: non-core adjacent to ≥1 core — smallest adjacent core cluster
+    border = (
+        und.join(core_cl.select(entity, F.col("n").alias("m"), "cluster"), [entity, "m"])
+        .join(marked.where(~F.col("is_core")).select(entity, "n"), [entity, "n"])
+        .groupBy(entity, "n")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assign = core_cl.unionByName(border)
+    return (
+        marked.join(assign, [entity, "n"], "left")
+        .select(entity, F.col("n").alias("node"), "is_core", "cluster")
+    )
+
+
 def betweenness_centrality(
     edges: DataFrame, entity: str, max_hops: int = 30
 ) -> DataFrame:

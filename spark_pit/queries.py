@@ -2224,6 +2224,67 @@ FROM per_src p JOIN nn ON p.user_id = nn.user_id
 """
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed DBSCAN (reference iAnalysis DBSCAN,
+    feature.py:4838-4850) over each user's 1-D value space: ε=0.05
+    neighbor pairs from the banded equi-join, min_pts=3, clusters = core
+    connected components + border attachment, noise = NULL cluster."""
+    from spark_pit.operators.graph import contact_edges, dbscan_clusters
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "value")
+    edges = contact_edges(ev, "user_id", "event_id", "value", cutoff=0.05)
+    nodes = ev.select("user_id", "event_id")
+    out = dbscan_clusters(edges, nodes, "user_id", min_pts=3)
+    return out.select("user_id", "node", "is_core", "cluster")
+
+
+Q_DBSCAN_SQL = """
+WITH RECURSIVE edges0 AS (
+  SELECT e1.user_id, e1.event_id AS a, e2.event_id AS b
+  FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+  WHERE e1.event_id < e2.event_id AND abs(e1.value - e2.value) <= 0.05
+),
+edges AS (
+  SELECT user_id, a AS n, b AS m FROM edges0
+  UNION ALL SELECT user_id, b AS n, a AS m FROM edges0
+),
+nodes AS (SELECT user_id, event_id AS n FROM events),
+deg AS (SELECT user_id, n, count(*) AS deg FROM edges GROUP BY user_id, n),
+marked AS (
+  SELECT nd.user_id, nd.n, coalesce(d.deg, 0) + 1 >= 3 AS is_core
+  FROM nodes nd LEFT JOIN deg d ON nd.user_id = d.user_id AND nd.n = d.n
+),
+core_edges AS (
+  SELECT e.user_id, e.n, e.m
+  FROM edges e
+  JOIN marked ma ON ma.user_id = e.user_id AND ma.n = e.n AND ma.is_core
+  JOIN marked mb ON mb.user_id = e.user_id AND mb.n = e.m AND mb.is_core
+),
+reach(user_id, n, r) AS (
+  SELECT user_id, n, n FROM marked WHERE is_core
+  UNION
+  SELECT e.user_id, e.n, reach.r
+  FROM core_edges e JOIN reach ON e.user_id = reach.user_id AND e.m = reach.n
+),
+core_cl AS (
+  SELECT user_id, n, min(r) AS cluster FROM reach GROUP BY user_id, n
+),
+border AS (
+  SELECT e.user_id, e.m AS n, min(c.cluster) AS cluster
+  FROM edges e
+  JOIN core_cl c ON c.user_id = e.user_id AND c.n = e.n
+  JOIN marked mb ON mb.user_id = e.user_id AND mb.n = e.m AND NOT mb.is_core
+  GROUP BY e.user_id, e.m
+),
+assign AS (
+  SELECT * FROM core_cl UNION ALL SELECT * FROM border
+)
+SELECT m.user_id, m.n AS node, m.is_core, a.cluster
+FROM marked m
+LEFT JOIN assign a ON a.user_id = m.user_id AND a.n = m.n
+"""
+
+
 # deterministic two-cluster fixture graph for the MCL registry query:
 # two triangles (1,2,3) and (4,5,6) joined by one weak bridge 3-4
 _MCL_EDGES = [
@@ -2345,7 +2406,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # composition / pair families
     "token_composition": q_token_composition,
     "lagk_pairs": q_lagk_pairs,
-    "trigrams": q_trigrams,
     "transitions": q_transitions,
     "asdc": q_asdc,
     "dde": q_dde,
@@ -2376,6 +2436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eigen_centrality": q_eigen_centrality,
     "connected_components": q_connected_components,
     "graph_path_stats": q_graph_path_stats,
+    "dbscan": q_dbscan,
     "mcl_clusters": q_mcl_clusters,
     "channel_correlation": q_channel_correlation,
     # text / dedup / similarity
@@ -2400,6 +2461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh": q_ann_lsh,
     "zip_label_join": q_zip_label_join,
+    "trigrams": q_trigrams,
     "cross_cov": q_cross_cov,
     "paac_weights": q_paac_weights,
     "grouped_window_composition": q_grouped_window_composition,
@@ -2470,6 +2532,7 @@ ORACLES: dict[str, str] = {
     "eigen_centrality": Q_EIGEN_CENTRALITY_SQL,
     "connected_components": Q_CONNECTED_COMPONENTS_SQL,
     "graph_path_stats": Q_GRAPH_PATH_STATS_SQL,
+    "dbscan": Q_DBSCAN_SQL,
     "closeness_centrality": Q_CLOSENESS_SQL,
     "betweenness": Q_BETWEENNESS_SQL,
     "mcl_clusters": Q_MCL_CLUSTERS_SQL,

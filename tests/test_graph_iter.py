@@ -117,6 +117,30 @@ def test_betweenness_multiple_shortest_paths(spark):
         assert b[v] == _pt.approx(0.5 * 2 / (3 * 2)), v
 
 
+def test_dbscan_core_border_noise(spark):
+    """1-D chain: {0,1,2} with eps=1 makes node1 core (3-point hood) and
+    0/2 borders; {5,6,7} is a second cluster; 10 is noise."""
+    from spark_pit.operators.graph import contact_edges, dbscan_clusters
+
+    vals = [0.0, 1.0, 2.0, 5.0, 6.0, 7.0, 10.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "g long, node long, v double"
+    )
+    edges = contact_edges(df, "g", "node", "v", cutoff=1.0)
+    out = dbscan_clusters(edges, df.select("g", "node"), "g", min_pts=3).toPandas()
+    m = out.set_index("node")
+    assert bool(m.loc[1, "is_core"]) and not bool(m.loc[0, "is_core"])
+    assert m.loc[0, "cluster"] == 1 and m.loc[1, "cluster"] == 1 and m.loc[2, "cluster"] == 1
+    assert m.loc[3, "cluster"] == 4 and m.loc[4, "cluster"] == 4 and m.loc[5, "cluster"] == 4
+    assert not bool(m.loc[6, "is_core"]) and pd_isna(m.loc[6, "cluster"])
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
 def _brandes_brute(edges):
     """Reference Brandes on one small graph, networkx-normalized."""
     from collections import deque
