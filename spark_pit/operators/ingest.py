@@ -19,6 +19,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def read_fasta(spark, path: str) -> DataFrame:
+    """Distributed FASTA reader — the reference's entry point
+    (`read_fasta`, feature.py:75-113: parses '>name|label|training' headers,
+    uppercases the sequence, strips whitespace). Spark-first shape:
+    ``spark.read.text(lineSep='>')`` splits the file into one ROW PER
+    RECORD at the '>' delimiter, so multi-line sequences never straddle row
+    boundaries and the parse is pure column expressions (no UDF, no
+    wholeTextFiles driver funnel). Splittable/compressed inputs and
+    multi-file globs come free from the text source.
+
+    Returns (name, label, training, sequence); label defaults to '0' and
+    training to true when the header carries no '|' fields, mirroring the
+    reference's defaults (feature.py:96-103)."""
+    raw = spark.read.text(path, lineSep=">")
+    rec = raw.where(F.length(F.trim(F.col("value"))) > 0)
+    # F.get (not getItem): missing header fields are NULL, not an ANSI
+    # out-of-bounds error
+    header = F.get(F.split(F.col("value"), "\n", 2), 0)
+    body = F.get(F.split(F.col("value"), "\n", 2), 1)
+    fields = F.split(header, r"\|")
+    return rec.select(
+        F.trim(F.get(fields, 0)).alias("name"),
+        F.coalesce(F.trim(F.get(fields, 1)), F.lit("0")).alias("label"),
+        F.coalesce(F.trim(F.get(fields, 2)) == "training", F.lit(True)).alias(
+            "training"
+        ),
+        F.upper(F.regexp_replace(F.coalesce(body, F.lit("")), r"\s", "")).alias(
+            "sequence"
+        ),
+    ).where(F.length("sequence") > 0)
+
+
 def equal_length_stats(df: DataFrame, entity: str) -> DataFrame:
     lens = df.groupBy(entity).agg(F.count(F.lit(1)).alias("__n"))
     return lens.agg(

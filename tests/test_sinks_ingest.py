@@ -65,3 +65,23 @@ def test_infer_stream_type(spark, sf_dir):
     assert infer_stream_type(dna, "event_type", vocabs) == "dna"
     other = spark.createDataFrame([("Z",)], ["event_type"])
     assert infer_stream_type(other, "event_type", vocabs) == "unknown"
+
+
+def test_read_fasta_multiline_and_headers(spark, tmp_path):
+    """Distributed FASTA parse: multi-line sequences, '|'-field headers with
+    defaults, lowercase → upper (reference read_fasta feature.py:75-113)."""
+    from spark_pit.operators.ingest import read_fasta
+
+    fa = tmp_path / "toy.fasta"
+    fa.write_text(
+        ">seq1|1|training\nMKV\nlvag\n"
+        ">seq2|0|testing\nACDE\n"
+        ">seq3\nggg\nH\n"
+    )
+    out = read_fasta(spark, str(fa)).toPandas().set_index("name")
+    assert out.loc["seq1", "sequence"] == "MKVLVAG"
+    assert out.loc["seq1", "label"] == "1" and bool(out.loc["seq1", "training"])
+    assert out.loc["seq2", "sequence"] == "ACDE" and not bool(out.loc["seq2", "training"])
+    assert out.loc["seq3", "label"] == "0" and bool(out.loc["seq3", "training"])
+    assert out.loc["seq3", "sequence"] == "GGGH"
+    assert len(out) == 3
