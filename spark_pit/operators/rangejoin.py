@@ -112,3 +112,66 @@ def ball_composition(
     )
     tot = F.sum("n").over(Window.partitionBy("probe_id", "shell"))
     return cum.withColumn("freq", F.col("n") / tot)
+
+
+def surface_depth(df: DataFrame, entity: str, coord: str, out: str = "depth") -> DataFrame:
+    """Residue-depth analogue (reference get_residue_depth,
+    feature.py:4476-4508, which shells out to the msms binary for the 3-D
+    solvent-excluded surface — absent in this sandbox): in the engine's 1-D
+    coordinate space the "surface" is the entity's min/max hull, so depth =
+    min(x - min(x), max(x) - x) per entity. One window aggregate, no
+    shuffle beyond the entity partition; swap the hull for the msms surface
+    when the binary exists — the operator shape (per-point distance to the
+    entity's boundary) is the same."""
+    w = Window.partitionBy(entity)
+    x = F.col(coord)
+    return df.withColumn(
+        out, F.least(x - F.min(coord).over(w), F.max(coord).over(w) - x)
+    )
+
+
+def half_exposure(
+    df: DataFrame,
+    entity: str,
+    node_id: str,
+    coord: str,
+    radius: float,
+) -> DataFrame:
+    """Half-sphere-exposure analogue (reference get_HSE_CA/CB,
+    feature.py:4510-4560, Bio.PDB HSExposure over 3-D half-spheres): per
+    point, the neighbor counts within ``radius`` ABOVE vs BELOW it along
+    the coordinate — the 1-D half-spaces. Same banded equi-join as
+    contact_edges (hash join, never a nested loop), then one conditional
+    aggregation. Returns (entity, node, hse_up, hse_down)."""
+    pts = df.select(
+        F.col(entity).alias("__e"),
+        F.col(node_id).alias("n"),
+        F.col(coord).alias("va"),
+        F.floor(F.col(coord) / radius).cast("long").alias("__band"),
+    )
+    right = df.select(
+        F.col(entity).alias("__e2"),
+        F.col(node_id).alias("m"),
+        F.col(coord).alias("vb"),
+        F.floor(F.col(coord) / radius).cast("long").alias("__band2"),
+    )
+    expanded = pts.withColumn(
+        "__jband",
+        F.explode(F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)),
+    )
+    near = expanded.join(
+        right,
+        (F.col("__e") == F.col("__e2")) & (F.col("__jband") == F.col("__band2")),
+    ).where(
+        (F.col("n") != F.col("m")) & (F.abs(F.col("va") - F.col("vb")) <= radius)
+    )
+    counted = near.groupBy(F.col("__e").alias(entity), "n").agg(
+        F.sum(F.when(F.col("vb") > F.col("va"), 1).otherwise(0)).alias("hse_up"),
+        F.sum(F.when(F.col("vb") < F.col("va"), 1).otherwise(0)).alias("hse_down"),
+    )
+    base = df.select(F.col(entity), F.col(node_id).alias("n")).distinct()
+    return (
+        base.join(counted, [entity, "n"], "left")
+        .na.fill({"hse_up": 0, "hse_down": 0})
+        .select(entity, F.col("n").alias("node"), "hse_up", "hse_down")
+    )

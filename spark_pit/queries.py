@@ -2285,6 +2285,49 @@ LEFT JOIN assign a ON a.user_id = m.user_id AND a.n = m.n
 """
 
 
+def q_surface_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residue-depth analogue (get_residue_depth feature.py:4476-4508, 1-D
+    hull distance — msms binary absent, operator shape real)."""
+    from spark_pit.operators.rangejoin import surface_depth
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "value")
+    out = surface_depth(ev, "user_id", "value")
+    return out.select("event_id", "user_id", F.round("depth", 6).alias("depth"))
+
+
+Q_SURFACE_DEPTH_SQL = """
+SELECT event_id, user_id,
+       round(least(value - min(value) OVER w, max(value) OVER w - value), 6) AS depth
+FROM events WINDOW w AS (PARTITION BY user_id)
+"""
+
+
+def q_half_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HSE analogue (get_HSE_CA/CB feature.py:4510-4560): neighbor counts
+    within r=0.1 above vs below each point's value, banded equi-join."""
+    from spark_pit.operators.rangejoin import half_exposure
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "value")
+    return half_exposure(ev, "user_id", "event_id", "value", radius=0.1)
+
+
+Q_HALF_EXPOSURE_SQL = """
+WITH prs AS (
+  SELECT a.user_id, a.event_id AS node,
+         sum(CASE WHEN b.value > a.value THEN 1 ELSE 0 END) AS hse_up,
+         sum(CASE WHEN b.value < a.value THEN 1 ELSE 0 END) AS hse_down
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id AND a.event_id <> b.event_id
+   AND abs(a.value - b.value) <= 0.1
+  GROUP BY a.user_id, a.event_id
+)
+SELECT e.user_id, e.event_id AS node,
+       CAST(coalesce(p.hse_up, 0) AS BIGINT) AS hse_up,
+       CAST(coalesce(p.hse_down, 0) AS BIGINT) AS hse_down
+FROM events e LEFT JOIN prs p ON e.user_id = p.user_id AND e.event_id = p.node
+"""
+
+
 # deterministic two-cluster fixture graph for the MCL registry query:
 # two triangles (1,2,3) and (4,5,6) joined by one weak bridge 3-4
 _MCL_EDGES = [
@@ -2460,6 +2503,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_mark": q_minhash_dedup_mark,
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh": q_ann_lsh,
+    "surface_depth": q_surface_depth,
+    "half_exposure": q_half_exposure,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
     "cross_cov": q_cross_cov,
@@ -2550,6 +2595,8 @@ ORACLES: dict[str, str] = {
     "simhash_neardup": Q_SIMHASH_NEARDUP_SQL,
     "ann_lsh": Q_ANN_LSH_SQL,
     "image_pit_checksums": Q_IMAGE_PIT_CHECKSUMS_SQL,
+    "surface_depth": Q_SURFACE_DEPTH_SQL,
+    "half_exposure": Q_HALF_EXPOSURE_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "cosine_topk": Q_COSINE_TOPK_SQL,
