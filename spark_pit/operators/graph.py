@@ -266,6 +266,10 @@ def dbscan_clusters(
 
     Returns (entity, node, is_core, cluster) for EVERY node in ``nodes``
     (isolated points included — noise)."""
+    # the pair list feeds four branches (degree scan, core filter ×2,
+    # border attach) — materialize it once instead of recomputing the
+    # upstream ε-join per branch (at scale: cache/checkpoint the edges)
+    edges = edges.localCheckpoint()
     und = _undirected(edges, entity)
     deg = und.groupBy(entity, "n").agg(F.count(F.lit(1)).alias("deg"))
     base = nodes.select(entity, F.col(nodes.columns[1]).alias("n")).distinct()
@@ -274,6 +278,7 @@ def dbscan_clusters(
         .na.fill({"deg": 0})
         .withColumn("is_core", F.col("deg") + 1 >= min_pts)
         .select(entity, "n", "is_core")
+        .localCheckpoint()
     )
     core = marked.where("is_core").select(entity, "n")
     core_edges = (
