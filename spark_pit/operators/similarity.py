@@ -154,10 +154,12 @@ def ivf_topk(
         ),
         1, nprobe,
     )
-    # home cell = nearest centroid (probe rank 1); probe list for the query side
+    # home cell = nearest centroid (probe rank 1); probe list for the query
+    # side — __home reads the materialized __probe column so the centroid
+    # distance expression is evaluated once per row
     base = feats.select(
         id_col, vec_col, F.sqrt(_dot(v, v)).alias("norm")
-    ).withColumn("__home", probed[0]).withColumn("__probe", probed)
+    ).withColumn("__probe", probed).withColumn("__home", F.col("__probe")[0])
     q = base.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
         F.col("norm").alias("qn"), F.explode("__probe").alias("cell"),
