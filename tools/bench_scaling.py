@@ -28,13 +28,14 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str, repl: int) -> dict:
+def run_level(cpus: int, sf_dir: str, repl: int, query: str = "flagship") -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_REPL=str(repl),
-        SPARK_GRAFT_BENCH_QUERIES="flagship",
+        SPARK_GRAFT_IMG_REPL=str(repl),
+        SPARK_GRAFT_BENCH_QUERIES=query,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
@@ -51,13 +52,21 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--update-md", action="store_true")
+    ap.add_argument(
+        "--query", default="flagship", choices=["flagship", "image_flagship"],
+        help="which flagship to scale: the events kernel or the north-rule "
+             "image+caption pipeline",
+    )
     args = ap.parse_args()
 
-    lo = run_level(args.low, args.sf_dir, args.repl)
-    hi = run_level(args.high, args.sf_dir, args.repl)
+    lo = run_level(args.low, args.sf_dir, args.repl, args.query)
+    hi = run_level(args.high, args.sf_dir, args.repl, args.query)
     ratio = args.high / args.low
-    rps_lo = lo["event_rows"] / lo["queries"]["flagship"]
-    rps_hi = hi["event_rows"] / hi["queries"]["flagship"]
+    def _rows(r):
+        return (r["event_rows"] if args.query == "flagship"
+                else round(r["queries"]["image_rows_per_sec"] * r["queries"]["image_flagship"]))
+    rps_lo = _rows(lo) / lo["queries"][args.query]
+    rps_hi = _rows(hi) / hi["queries"][args.query]
     eff = rps_hi / (ratio * rps_lo)
     result = {
         "metric": "scaling_efficiency",
@@ -65,12 +74,13 @@ def main() -> None:
         "unit": f"(rows/s @{args.high}c) / ({int(ratio)} x rows/s @{args.low}c)",
         "sf": args.sf_dir,
         "repl": args.repl,
-        "rows": lo["event_rows"],
+        "rows": _rows(lo),
+        "query": args.query,
         "low_cores": args.low,
-        "low_wall_s": lo["queries"]["flagship"],
+        "low_wall_s": lo["queries"][args.query],
         "low_rows_per_sec": round(rps_lo, 1),
         "high_cores": args.high,
-        "high_wall_s": hi["queries"]["flagship"],
+        "high_wall_s": hi["queries"][args.query],
         "high_rows_per_sec": round(rps_hi, 1),
         "target": 0.8,
         "pass": eff >= 0.8,
@@ -89,10 +99,10 @@ def main() -> None:
                 f"{lo['event_rows']:,} rows.\n\n"
                 "| run | cores | wall s | rows/s | efficiency |\n"
                 "|---|---|---|---|---|\n"
-                f"| flagship @ local[{args.low}] | {args.low} | "
-                f"{lo['queries']['flagship']} | {rps_lo:,.0f} | — |\n"
-                f"| flagship @ local[{args.high}] | {args.high} | "
-                f"{hi['queries']['flagship']} | {rps_hi:,.0f} | "
+                f"| {args.query} @ local[{args.low}] | {args.low} | "
+                f"{lo['queries'][args.query]} | {rps_lo:,.0f} | — |\n"
+                f"| {args.query} @ local[{args.high}] | {args.high} | "
+                f"{hi['queries'][args.query]} | {rps_hi:,.0f} | "
                 f"**{eff:.3f}** (target ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}) |\n\n"
                 "Reproduce: `python tools/bench_scaling.py --update-md`\n"
             )
