@@ -128,6 +128,76 @@ def lda_topics(
     )
 
 
+def mean_shift_1d(
+    points: DataFrame,
+    entity: str,
+    node_id: str,
+    coord: str,
+    bandwidth: float,
+    n_iter: int = 8,
+) -> DataFrame:
+    """MeanShift analogue (reference iAnalysis MeanShift, sklearn row
+    feature.py:4838-4864 family) on the engine's 1-D coordinate space:
+    every point's position iterates to the mean of the ORIGINAL points
+    within ``bandwidth`` (flat kernel), K fixed steps; points whose modes
+    land in the same bandwidth-scale decimal bucket form a cluster
+    (min node id = label).
+
+    Cross-engine determinism, same discipline as eigenvector_centrality:
+    original coordinates quantize once to DECIMAL(18,6) so every
+    neighborhood mean is an exact decimal sum / count, and each iterate is
+    re-quantized to DECIMAL(18,9) — the unrolled MATERIALIZED-CTE oracle
+    reproduces every step bit-for-bit. Per step: one banded equi-join (the
+    rangejoin trick, never a nested loop) + one partial-agg shuffle."""
+    h = float(bandwidth)
+    base = points.select(
+        F.col(entity).alias("__e"),
+        F.col(coord).cast("decimal(18,6)").alias("x"),
+    ).withColumn("__b2", F.floor(F.col("x").cast("double") / h).cast("long"))
+    cur = points.select(
+        entity,
+        F.col(node_id).alias("node"),
+        F.col(coord).cast("decimal(18,6)").cast("decimal(18,9)").alias("q"),
+    ).localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        qb = cur.withColumn(
+            "__jb",
+            F.explode(
+                F.array(
+                    F.floor(F.col("q").cast("double") / h).cast("long") - 1,
+                    F.floor(F.col("q").cast("double") / h).cast("long"),
+                    F.floor(F.col("q").cast("double") / h).cast("long") + 1,
+                )
+            ),
+        )
+        near = qb.join(
+            base,
+            (F.col(entity) == F.col("__e")) & (F.col("__jb") == F.col("__b2")),
+        ).where(
+            F.abs(F.col("x").cast("double") - F.col("q").cast("double")) <= h
+        )
+        cur = (
+            near.groupBy(entity, "node")
+            .agg(F.sum("x").alias("__s"), F.count(F.lit(1)).alias("__c"))
+            .select(
+                entity, "node",
+                (F.col("__s").cast("double") / F.col("__c"))
+                .cast("decimal(18,9)").alias("q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    labeled = cur.withColumn("__mb", F.col("q").cast("decimal(18,3)"))
+    lab = labeled.groupBy(entity, "__mb").agg(F.min("node").alias("cluster"))
+    return (
+        labeled.join(lab, [entity, "__mb"])
+        .select(
+            entity, "node",
+            F.round(F.col("q").cast("double"), 6).alias("mode"),
+            "cluster",
+        )
+    )
+
+
 def channel_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
     """MarkvCluster's correlation-matrix seed (feature.py:5083-5094) as a
     long-format pairwise Pearson table over numeric channels — one

@@ -2328,6 +2328,50 @@ FROM events e LEFT JOIN prs p ON e.user_id = p.user_id AND e.event_id = p.node
 """
 
 
+def q_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanShift analogue (sklearn-clusterer row): 8-step flat-kernel mode
+    seeking over each user's value axis, bandwidth 20 — decimal-quantized
+    per step so the unrolled SQL oracle is bit-exact (the eigen discipline)."""
+    from spark_pit.operators.analysis import mean_shift_1d
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "value")
+    out = mean_shift_1d(ev, "user_id", "event_id", "value", bandwidth=20.0, n_iter=8)
+    return out.select("user_id", "node", "mode", "cluster")
+
+
+def _mean_shift_sql(n_iter: int = 8, h: float = 20.0) -> str:
+    parts = [f"""
+WITH base AS MATERIALIZED (
+  SELECT user_id AS e, CAST(value AS DECIMAL(18,6)) AS x FROM events
+),
+q0 AS MATERIALIZED (
+  SELECT user_id, event_id AS node,
+         CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(18,9)) AS q
+  FROM events
+)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+q{k} AS MATERIALIZED (
+  SELECT c.user_id, c.node,
+         CAST(CAST(sum(b.x) AS DOUBLE) / count(*) AS DECIMAL(18,9)) AS q
+  FROM q{k - 1} c JOIN base b
+    ON b.e = c.user_id
+   AND abs(CAST(b.x AS DOUBLE) - CAST(c.q AS DOUBLE)) <= {h}
+  GROUP BY c.user_id, c.node
+)""")
+    parts.append(f""",
+labeled AS (
+  SELECT user_id, node, q, CAST(q AS DECIMAL(18,3)) AS mb FROM q{n_iter}
+),
+lab AS (SELECT user_id, mb, min(node) AS cluster FROM labeled GROUP BY user_id, mb)
+SELECT l.user_id, l.node, round(CAST(l.q AS DOUBLE), 6) AS mode, lab.cluster
+FROM labeled l JOIN lab ON l.user_id = lab.user_id AND l.mb = lab.mb""")
+    return "".join(parts)
+
+
+Q_MEAN_SHIFT_SQL = _mean_shift_sql()
+
+
 # deterministic two-cluster fixture graph for the MCL registry query:
 # two triangles (1,2,3) and (4,5,6) joined by one weak bridge 3-4
 _MCL_EDGES = [
@@ -2505,6 +2549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "surface_depth": q_surface_depth,
     "half_exposure": q_half_exposure,
+    "mean_shift": q_mean_shift,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
     "cross_cov": q_cross_cov,
@@ -2597,6 +2642,7 @@ ORACLES: dict[str, str] = {
     "image_pit_checksums": Q_IMAGE_PIT_CHECKSUMS_SQL,
     "surface_depth": Q_SURFACE_DEPTH_SQL,
     "half_exposure": Q_HALF_EXPOSURE_SQL,
+    "mean_shift": Q_MEAN_SHIFT_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "cosine_topk": Q_COSINE_TOPK_SQL,

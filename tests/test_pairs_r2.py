@@ -176,6 +176,23 @@ def test_lda_topics_shapes(spark):
     assert set(out[out["vid"] < 20]["topic"]) != set(out[out["vid"] >= 20]["topic"])
 
 
+def test_mean_shift_two_modes(spark):
+    """Two 1-D blobs converge to two distinct modes; every point lands in
+    its blob's cluster and the modes sit near the blob centers."""
+    from spark_pit.operators.analysis import mean_shift_1d
+
+    rng = np.random.default_rng(21)
+    rows = [(1, i, float(rng.normal(0.0 if i < 30 else 50.0, 1.0)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "g long, node long, v double")
+    out = mean_shift_1d(df, "g", "node", "v", bandwidth=8.0, n_iter=8).toPandas()
+    a = out[out["node"] < 30]
+    b = out[out["node"] >= 30]
+    assert a["cluster"].nunique() == 1 and b["cluster"].nunique() == 1
+    assert a["cluster"].iloc[0] != b["cluster"].iloc[0]
+    assert abs(a["mode"].mean() - 0.0) < 2.0 and abs(b["mode"].mean() - 50.0) < 2.0
+
+
 def test_gmm_separates_two_blobs(spark):
     from spark_pit.operators.analysis import gmm_clusters
 
