@@ -2402,6 +2402,49 @@ FROM (VALUES (1, 3), (2, 3), (3, 3), (4, 4), (5, 4), (6, 4)) AS t(node, cluster)
 """
 
 
+# deterministic AP fixture: entity 1 = two 1/8-grid blobs of UNEQUAL size
+# (5 @ 0, 7 @ 50 — a symmetric blob would keep two tied central exemplars
+# alive forever); entity 2 = 2 near + 1 far (all one cluster); entity 3 =
+# a singleton (fallback path)
+_AP_POINTS = (
+    [(1, i, i * 0.125) for i in range(5)]
+    + [(1, 5 + i, 50.0 + i * 0.125) for i in range(7)]
+    + [(2, 0, 0.0), (2, 1, 0.25), (2, 2, 10.0), (3, 7, 3.5)]
+)
+
+
+def q_affinity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affinity Propagation (the reference's sklearn APC row,
+    feature.py:4838-4864 family) over the deterministic three-entity
+    fixture, via the entity-grouped scaled-int64 kernel
+    (analysis.affinity_propagation_grouped — one shuffle, exact fixed-point
+    message passing). Converged state: entity 1 → exemplars {2, 8}, one
+    per blob; entity 2 → single cluster 0; entity 3 → self. The oracle is
+    the pinned converged assignment (60 damped message rounds are not
+    SQL-expressible; the pin hash-verifies the full kernel at the driver —
+    same pattern as mcl_clusters). Bit-stable because every step is int64
+    fixed-point with total-order tie-breaks: no float in the loop."""
+    from spark_pit.operators.analysis import affinity_propagation_grouped
+
+    pts = spark.createDataFrame(_AP_POINTS, "g long, node long, v double")
+    return (
+        affinity_propagation_grouped(pts, "g", "node", "v", n_iter=60)
+        .orderBy("g", "node")
+    )
+
+
+Q_AFFINITY_CLUSTERS_SQL = """
+SELECT CAST(g AS BIGINT) AS g, CAST(node AS BIGINT) AS node,
+       CAST(cluster AS BIGINT) AS cluster
+FROM (VALUES
+  (1, 0, 2), (1, 1, 2), (1, 2, 2), (1, 3, 2), (1, 4, 2),
+  (1, 5, 8), (1, 6, 8), (1, 7, 8), (1, 8, 8), (1, 9, 8),
+  (1, 10, 8), (1, 11, 8),
+  (2, 0, 0), (2, 1, 0), (2, 2, 0),
+  (3, 7, 7)) AS t(g, node, cluster)
+"""
+
+
 def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: MLlib LDA over per-user event-type count vectors
     (iAnalysis.LDA feature.py:4968-4981; variational EM is
@@ -2550,6 +2593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surface_depth": q_surface_depth,
     "half_exposure": q_half_exposure,
     "mean_shift": q_mean_shift,
+    "affinity_clusters": q_affinity_clusters,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
     "cross_cov": q_cross_cov,
@@ -2643,6 +2687,7 @@ ORACLES: dict[str, str] = {
     "surface_depth": Q_SURFACE_DEPTH_SQL,
     "half_exposure": Q_HALF_EXPOSURE_SQL,
     "mean_shift": Q_MEAN_SHIFT_SQL,
+    "affinity_clusters": Q_AFFINITY_CLUSTERS_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "cosine_topk": Q_COSINE_TOPK_SQL,

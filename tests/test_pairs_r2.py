@@ -206,3 +206,46 @@ def test_gmm_separates_two_blobs(spark):
     b = set(out[out["vid"] >= 30]["cluster"])
     assert len(a) == 1 and len(b) == 1 and a != b
     assert (out["max_prob"] > 0.99).all()
+
+
+_AP_FIXTURE = (
+    [(1, i, i * 0.125) for i in range(5)]
+    + [(1, 5 + i, 50.0 + i * 0.125) for i in range(7)]
+    + [(2, 0, 0.0), (2, 1, 0.25), (2, 2, 10.0), (3, 7, 3.5)]
+)
+
+
+def test_affinity_grouped_converges_per_blob(spark):
+    """AP (grouped int64 kernel) at the converged horizon: one exemplar
+    per blob in the unequal-blob entity, one cluster for the 2+1 entity,
+    self-label for the singleton (fallback path)."""
+    from spark_pit.operators.analysis import affinity_propagation_grouped
+
+    df = spark.createDataFrame(_AP_FIXTURE, "g long, node long, v double")
+    out = affinity_propagation_grouped(df, "g", "node", "v", n_iter=60).toPandas()
+    e1 = out[out["g"] == 1].set_index("node")["cluster"]
+    assert set(e1[e1.index < 5]) == {2}
+    assert set(e1[e1.index >= 5]) == {8}
+    assert set(out[out["g"] == 2]["cluster"]) == {0}
+    assert out[out["g"] == 3]["cluster"].tolist() == [7]
+
+
+def test_affinity_decimal_matches_kernel_bitwise(spark):
+    """The global decimal-DataFrame variant and the scaled-int64 grouped
+    kernel implement the SAME recurrence: identical assignments at
+    mid-oscillation horizons (odd counts exercise the half-away-from-zero
+    requantization; the 1/64-grid coords are exact at both engines'
+    scale-6 quantization)."""
+    from spark_pit.operators.analysis import (
+        affinity_propagation_1d,
+        affinity_propagation_grouped,
+    )
+
+    df = spark.createDataFrame(_AP_FIXTURE, "g long, node long, v double")
+    for it in (3, 7):
+        a = (affinity_propagation_1d(df, "g", "node", "v", n_iter=it)
+             .toPandas().sort_values(["g", "node"]).reset_index(drop=True))
+        b = (affinity_propagation_grouped(df, "g", "node", "v", n_iter=it)
+             .toPandas().sort_values(["g", "node"]).reset_index(drop=True))
+        assert a[["g", "node", "cluster"]].astype("int64").equals(
+            b[["g", "node", "cluster"]].astype("int64")), f"n_iter={it}"
