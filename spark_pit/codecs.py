@@ -148,3 +148,38 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+# ------------------------------------------- frame container ("video" stub)
+# A seekable multi-frame container standing in for a video file: real
+# video decode needs ffmpeg (absent here); the container mechanics that
+# matter to the Spark plumbing — an index you can seek by so sampling
+# frame k does NOT decode frames 0..k-1 — are real.
+CONTAINER_MAGIC = b"FCNT"
+
+
+def encode_container(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    """Pack frames into [magic][n][fmt4][offsets (n+1)*u32][payloads…]."""
+    blobs = [encode_image(f, fmt) for f in frames]
+    offs = np.zeros(len(blobs) + 1, dtype=">u4")
+    np.cumsum([len(b) for b in blobs], out=offs[1:])
+    head = CONTAINER_MAGIC + struct.pack(">I", len(blobs)) + fmt.ljust(4).encode()
+    return head + offs.tobytes() + b"".join(blobs)
+
+
+def container_frame_count(data: bytes) -> int:
+    if data[:4] != CONTAINER_MAGIC:
+        raise ValueError("not an FCNT container")
+    return struct.unpack(">I", data[4:8])[0]
+
+
+def decode_container_frame(data: bytes, idx: int) -> np.ndarray:
+    """Seek + decode ONE frame; O(frame), not O(container)."""
+    n = container_frame_count(data)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} of {n}")
+    fmt = data[8:12].decode().strip()
+    table = data[12 : 12 + 4 * (n + 1)]
+    offs = np.frombuffer(table, dtype=">u4")
+    base = 12 + 4 * (n + 1)
+    return decode_image(data[base + int(offs[idx]) : base + int(offs[idx + 1])], fmt)

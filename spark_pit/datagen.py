@@ -167,6 +167,81 @@ def snapshots_table(
     return spark.createDataFrame(pdf, schema=SNAPSHOTS_SCHEMA)
 
 
+def videos_table(
+    spark: SparkSession,
+    n_videos: int = 60,
+    max_frames: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic FCNT frame-container table (the video stand-in):
+    each video is 2..max_frames rendered frames of one drifting pattern
+    packed with a seekable offset index (spark_pit.codecs.encode_container).
+    Rendered executor-side like images_table — one spec row per video."""
+    from spark_pit.codecs import encode_container
+
+    spec = pd.DataFrame({
+        "video_id": [f"vid_{k:05d}" for k in range(n_videos)],
+        "seed": [seed * 9_000_011 + k for k in range(n_videos)],
+    })
+    spec_df = spark.createDataFrame(spec)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for video_id, s in batch.itertuples(index=False):
+                rng = np.random.default_rng(int(s))
+                n = int(rng.integers(2, max_frames + 1))
+                w = int(rng.integers(8, 33))
+                h = int(rng.integers(8, 33))
+                base = _render_pattern(rng, w, h).astype(np.int16)
+                frames = [
+                    np.clip(base + 3 * t, 0, 255).astype(np.uint8)
+                    for t in range(n)
+                ]
+                rows.append((video_id, n, w, h, encode_container(frames)))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "n_frames", "w", "h", "bytes"]
+            )
+
+    return spec_df.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
+        gen, schema="video_id string, n_frames int, w int, h int, bytes binary"
+    )
+
+
+def audio_table(
+    spark: SparkSession,
+    n_clips: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic PCM16-LE clip table: sine carrier + uniform dither,
+    amplitude/frequency per clip from the seeded generator. Executor-side
+    rendering, same spec-row pattern as images_table."""
+    spec = pd.DataFrame({
+        "clip_id": [f"clip_{k:05d}" for k in range(n_clips)],
+        "seed": [seed * 7_000_003 + k for k in range(n_clips)],
+    })
+    spec_df = spark.createDataFrame(spec)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for clip_id, s in batch.itertuples(index=False):
+                rng = np.random.default_rng(int(s))
+                n = int(rng.integers(400, 4000))
+                amp = float(rng.uniform(1000, 20000))
+                freq = float(rng.uniform(0.002, 0.2))
+                t = np.arange(n, dtype=np.float64)
+                x = amp * np.sin(2 * np.pi * freq * t)
+                x += rng.uniform(-50, 50, size=n)
+                pcm = np.clip(np.round(x), -32768, 32767).astype("<i2")
+                rows.append((clip_id, n, pcm.tobytes()))
+            yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "bytes"])
+
+    return spec_df.repartition(max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
+        gen, schema="clip_id string, n_samples int, bytes binary"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI: write images.parquet + snapshots.parquet for the spark-submit
     image-pipeline path (`python -m spark_pit.datagen --out DIR`)."""

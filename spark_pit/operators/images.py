@@ -129,3 +129,144 @@ def fidelity_check(images: DataFrame) -> DataFrame:
     return cols.mapInPandas(
         check, schema="image_id string, fmt string, decode_ok boolean, reencode_exact boolean"
     )
+
+
+RESIZE_SCHEMA = (
+    "image_id string, fmt string, out_w int, out_h int, "
+    "out_bytes binary, mean_gray_out double, resize_ok boolean"
+)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Deterministic area-average resize (the multimodal-pipeline resize
+    step): decode → integer-edge box pooling onto the (out_h, out_w) grid
+    (same pooling rule as datagen's aHash, so an exact-factor downsample of
+    a blocky image is bit-exact) → lossless PNG re-encode. Same plumbing
+    contract as decode_stats: iterator mapInPandas, input bytes consumed in
+    the batch, output binary is the SMALL resized payload. At 100 TB the
+    decode+resize runs where the scan runs; nothing wide ever shuffles."""
+    from spark_pit.codecs import encode_png
+
+    cols = images.select("image_id", "fmt", "bytes")
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edge_cache: dict = {}  # per-(h,w) pooling edges, bound once per worker
+        for batch in batches:
+            ob, mg, ok = [], [], []
+            for data, fmt in zip(batch["bytes"], batch["fmt"]):
+                try:
+                    img = decode_image(bytes(data), fmt).astype(np.float64)
+                    h, w = img.shape[:2]
+                    key = (h, w)
+                    if key not in edge_cache:
+                        edge_cache[key] = (
+                            (np.arange(out_h + 1) * h) // out_h,
+                            (np.arange(out_w + 1) * w) // out_w,
+                        )
+                    ye, xe = edge_cache[key]
+                    out = np.empty((out_h, out_w, 3), np.float64)
+                    for i in range(out_h):
+                        y0, y1 = ye[i], max(ye[i + 1], ye[i] + 1)
+                        for j in range(out_w):
+                            x0, x1 = xe[j], max(xe[j + 1], xe[j] + 1)
+                            out[i, j] = img[y0:y1, x0:x1].mean(axis=(0, 1))
+                    q = np.round(out).clip(0, 255).astype(np.uint8)
+                    ob.append(encode_png(q))
+                    mg.append(round(float(q.astype(np.float64).mean()), 6))
+                    ok.append(True)
+                except Exception:
+                    ob.append(None); mg.append(np.nan); ok.append(False)
+            yield pd.DataFrame({
+                "image_id": batch["image_id"], "fmt": batch["fmt"],
+                "out_w": out_w, "out_h": out_h,
+                "out_bytes": ob, "mean_gray_out": mg, "resize_ok": ok,
+            })
+
+    return cols.mapInPandas(kern, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_idx int, w int, h int, "
+    "mean_gray double, frame_ok boolean"
+)
+
+
+def sample_frames(videos: DataFrame, stride: int, max_frames: int = 8) -> DataFrame:
+    """Frame sampling over FCNT containers (the video stand-in,
+    spark_pit.codecs): for each container pick frames 0, stride, 2·stride…
+    (≤ max_frames) and decode ONLY those — the container's offset table
+    gives O(frame) seeks, the analogue of keyframe-seek sampling in a real
+    video pipeline. Iterator mapInPandas over (video_id, bytes); one input
+    row fans out to its sampled-frame rows; container bytes never leave
+    the batch."""
+    from spark_pit.codecs import container_frame_count, decode_container_frame
+
+    cols = videos.select("video_id", "bytes")
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            vid, idx, ws, hs, mg, ok = [], [], [], [], [], []
+            for v, data in zip(batch["video_id"], batch["bytes"]):
+                try:
+                    data = bytes(data)
+                    n = container_frame_count(data)
+                    picks = list(range(0, n, stride))[:max_frames]
+                except Exception:
+                    vid.append(v); idx.append(-1); ws.append(0); hs.append(0)
+                    mg.append(np.nan); ok.append(False)
+                    continue
+                for k in picks:
+                    try:
+                        img = decode_container_frame(data, k)
+                        vid.append(v); idx.append(k)
+                        hs.append(img.shape[0]); ws.append(img.shape[1])
+                        mg.append(round(float(img.astype(np.float64).mean()), 6))
+                        ok.append(True)
+                    except Exception:
+                        vid.append(v); idx.append(k); ws.append(0); hs.append(0)
+                        mg.append(np.nan); ok.append(False)
+            yield pd.DataFrame({
+                "video_id": vid, "frame_idx": idx, "w": ws, "h": hs,
+                "mean_gray": mg, "frame_ok": ok,
+            })
+
+    return cols.mapInPandas(kern, schema=FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, n_samples bigint, rms double, "
+    "zcr double, peak int, audio_ok boolean"
+)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Audio feature extraction over raw PCM16-LE payloads (the audio leg
+    of the multimodal contract): per-clip sample count, RMS, zero-crossing
+    rate, and integer peak. Pure NumPy over the byte buffer — a stand-in
+    for a real acoustic featurizer with identical plumbing (iterator
+    mapInPandas, bytes consumed in-batch)."""
+    cols = audio.select("clip_id", "bytes")
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ns, rms, zcr, pk, ok = [], [], [], [], []
+            for data in batch["bytes"]:
+                try:
+                    x = np.frombuffer(bytes(data), dtype="<i2").astype(np.float64)
+                    if len(x) == 0:
+                        raise ValueError("empty clip")
+                    ns.append(len(x))
+                    rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+                    sgn = np.signbit(x)
+                    zcr.append(round(float(np.mean(sgn[1:] != sgn[:-1])), 6))
+                    pk.append(int(np.abs(x).max()))
+                    ok.append(True)
+                except Exception:
+                    ns.append(0); rms.append(np.nan); zcr.append(np.nan)
+                    pk.append(0); ok.append(False)
+            yield pd.DataFrame({
+                "clip_id": batch["clip_id"], "n_samples": ns, "rms": rms,
+                "zcr": zcr, "peak": pk, "audio_ok": ok,
+            })
+
+    return cols.mapInPandas(kern, schema=AUDIO_FEATURES_SCHEMA)

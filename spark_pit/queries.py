@@ -1165,6 +1165,84 @@ _IMAGE_PIT_PINNED: dict = {
 Q_IMAGE_PIT_CHECKSUMS_SQL = _image_pit_checksums_oracle(_IMAGE_PIT_PINNED)
 
 
+def q_resize_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable pin of the multimodal RESIZE step: area-average
+    every synthetic payload to 16×12 (decode → integer-edge box pooling →
+    PNG re-encode, images.resize_images), then exact-decimal sums of the
+    resized gray means. Any drift in any codec, the pooling rule, or the
+    re-encode flips the hash."""
+    from spark_pit.datagen import images_table
+    from spark_pit.operators.images import resize_images
+
+    out = resize_images(images_table(spark, n_entities=50, n_rows=500, seed=42), 16, 12)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("resize_ok").cast("long")).alias("n_ok"),
+        F.sum(F.col("mean_gray_out").cast("decimal(28,6)")).cast("double").alias("sum_mean_gray"),
+        F.sum(F.length("out_bytes")).alias("sum_out_len"),
+    )
+
+
+# pinned by running the seed-42 synthesis once (regenerate only on an
+# intentional semantic change, same policy as _IMAGE_PIT_PINNED)
+_RESIZE_PINNED: dict = {
+    "n_rows": 475, "n_ok": 475,
+    "sum_mean_gray": 59969.991324, "sum_out_len": 301870,
+}
+
+Q_RESIZE_CHECKSUMS_SQL = _image_pit_checksums_oracle(_RESIZE_PINNED)
+
+
+def q_frame_sample_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable pin of FRAME SAMPLING over the FCNT video
+    containers (stride-3 seek-decode, images.sample_frames): exact-decimal
+    sums over every sampled frame's index and gray mean."""
+    from spark_pit.datagen import videos_table
+    from spark_pit.operators.images import sample_frames
+
+    out = sample_frames(videos_table(spark, n_videos=60, seed=42), stride=3)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("frame_ok").cast("long")).alias("n_ok"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum(F.col("mean_gray").cast("decimal(28,6)")).cast("double").alias("sum_mean_gray"),
+    )
+
+
+_FRAME_SAMPLE_PINNED: dict = {
+    "n_rows": 269, "n_ok": 269,
+    "sum_frame_idx": 1812, "sum_mean_gray": 39835.949976,
+}
+
+Q_FRAME_SAMPLE_CHECKSUMS_SQL = _image_pit_checksums_oracle(_FRAME_SAMPLE_PINNED)
+
+
+def q_audio_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable pin of the audio featurizer (PCM16 RMS /
+    zero-crossing rate / peak, images.audio_features) over the
+    deterministic clip table."""
+    from spark_pit.datagen import audio_table
+    from spark_pit.operators.images import audio_features
+
+    out = audio_features(audio_table(spark, n_clips=200, seed=42))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("audio_ok").cast("long")).alias("n_ok"),
+        F.sum("n_samples").alias("sum_n_samples"),
+        F.sum(F.col("rms").cast("decimal(28,6)")).cast("double").alias("sum_rms"),
+        F.sum(F.col("zcr").cast("decimal(28,6)")).cast("double").alias("sum_zcr"),
+        F.sum("peak").alias("sum_peak"),
+    )
+
+
+_AUDIO_PINNED: dict = {
+    "n_rows": 200, "n_ok": 200, "sum_n_samples": 434750,
+    "sum_rms": 1359942.044428, "sum_zcr": 39.446414, "sum_peak": 1932858,
+}
+
+Q_AUDIO_CHECKSUMS_SQL = _image_pit_checksums_oracle(_AUDIO_PINNED)
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: iterator-UDF embedding extraction (token-budget batching,
     model-once-per-worker) — §2.10 notebook pipeline analogue."""
@@ -2551,7 +2629,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distance_pair": q_distance_pair,
     "positional_onehot": q_positional_onehot,
     "zscore": q_zscore,
-    "minmax": q_minmax,
     "mean_impute": q_mean_impute,
     "shell_composition": q_shell_composition,
     "knn_label_fractions": q_knn_label_fractions,
@@ -2560,6 +2637,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the north-rule image flagship, driver-verified via exact-decimal
     # checksums of every feature column (golden fixture's numeric twin)
     "image_pit_checksums": q_image_pit_checksums,
+    # multimodal resize step, pinned exact-decimal sums (same policy)
+    "resize_checksums": q_resize_checksums,
     # graph / analysis plane
     "embedding_neardup": q_embedding_neardup,
     "contact_graph_stats": q_contact_graph_stats,
@@ -2594,6 +2673,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "half_exposure": q_half_exposure,
     "mean_shift": q_mean_shift,
     "affinity_clusters": q_affinity_clusters,
+    "minmax": q_minmax,
+    "frame_sample_checksums": q_frame_sample_checksums,
+    "audio_checksums": q_audio_checksums,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
     "cross_cov": q_cross_cov,
@@ -2688,6 +2770,9 @@ ORACLES: dict[str, str] = {
     "half_exposure": Q_HALF_EXPOSURE_SQL,
     "mean_shift": Q_MEAN_SHIFT_SQL,
     "affinity_clusters": Q_AFFINITY_CLUSTERS_SQL,
+    "resize_checksums": Q_RESIZE_CHECKSUMS_SQL,
+    "frame_sample_checksums": Q_FRAME_SAMPLE_CHECKSUMS_SQL,
+    "audio_checksums": Q_AUDIO_CHECKSUMS_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "cosine_topk": Q_COSINE_TOPK_SQL,

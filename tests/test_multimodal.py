@@ -1,0 +1,97 @@
+"""Multimodal plumbing ops: resize, frame sampling, audio features.
+
+The decode layer is the self-contained codec stand-in (spark_pit.codecs);
+what these tests pin is the SPARK contract — schemas, iterator-batch
+fan-out, determinism — plus the exact numeric semantics of each kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_pit.codecs import (
+    container_frame_count,
+    decode_container_frame,
+    decode_png,
+    encode_container,
+    encode_image,
+)
+
+
+def test_container_roundtrip_and_seek():
+    frames = [np.full((4, 5, 3), 10 * i, np.uint8) for i in range(7)]
+    data = encode_container(frames)
+    assert container_frame_count(data) == 7
+    for i in (0, 3, 6):
+        assert (decode_container_frame(data, i) == frames[i]).all()
+    with pytest.raises(IndexError):
+        decode_container_frame(data, 7)
+    with pytest.raises(ValueError):
+        container_frame_count(b"nope" + data)
+
+
+def test_resize_constant_and_block_exact(spark):
+    """Area pooling is exact on constant images and on integer-factor
+    block images; the emitted PNG decodes back to the pooled array."""
+    from spark_pit.operators.images import resize_images
+
+    const = np.full((24, 32, 3), 77, np.uint8)
+    block = np.zeros((8, 8, 3), np.uint8)
+    block[:4, :4] = 100; block[:4, 4:] = 200; block[4:, :4] = 40; block[4:, 4:] = 8
+    rows = [("a", "png", bytearray(encode_image(const, "png"))),
+            ("b", "png", bytearray(encode_image(block, "png"))),
+            ("bad", "png", bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "image_id string, fmt string, bytes binary")
+    out = {r["image_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert out["a"]["mean_gray_out"] == 77.0 and out["a"]["resize_ok"]
+    got = decode_png(bytes(out["b"]["out_bytes"]))
+    assert (got == np.array([[[100] * 3, [200] * 3], [[40] * 3, [8] * 3]],
+                            np.uint8)).all()
+    assert not out["bad"]["resize_ok"] and out["bad"]["out_bytes"] is None
+
+
+def test_sample_frames_stride_and_values(spark):
+    from spark_pit.operators.images import sample_frames
+
+    frames = [np.full((3, 3, 3), 20 * i, np.uint8) for i in range(10)]
+    rows = [("v1", bytearray(encode_container(frames))),
+            ("broken", bytearray(b"xx"))]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    out = sample_frames(df, stride=3, max_frames=3).toPandas()
+    v1 = out[out["video_id"] == "v1"].sort_values("frame_idx")
+    assert v1["frame_idx"].tolist() == [0, 3, 6]      # stride picks, capped
+    assert v1["mean_gray"].tolist() == [0.0, 60.0, 120.0]
+    assert v1["frame_ok"].all() and (v1["w"] == 3).all()
+    bad = out[out["video_id"] == "broken"]
+    assert len(bad) == 1 and not bad["frame_ok"].iloc[0]
+
+
+def test_audio_features_sine(spark):
+    from spark_pit.operators.images import audio_features
+
+    n, amp, cycles = 8000, 10000.0, 50
+    t = np.arange(n)
+    pcm = np.round(amp * np.sin(2 * np.pi * cycles * t / n)).astype("<i2")
+    rows = [("s", bytearray(pcm.tobytes())), ("empty", bytearray(b""))]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {r["clip_id"]: r for r in audio_features(df).collect()}
+    s = out["s"]
+    assert s["n_samples"] == n and s["audio_ok"]
+    assert abs(s["rms"] - amp / np.sqrt(2)) < amp * 0.01
+    # 50 cycles -> ~100 sign flips over 8000 samples
+    assert abs(s["zcr"] - 2 * cycles / n) < 0.002
+    assert s["peak"] == int(np.abs(pcm).max())
+    assert not out["empty"]["audio_ok"]
+
+
+def test_videos_audio_tables_deterministic(spark):
+    from spark_pit.datagen import audio_table, videos_table
+
+    v1 = videos_table(spark, n_videos=5, seed=9).orderBy("video_id").collect()
+    v2 = videos_table(spark, n_videos=5, seed=9).orderBy("video_id").collect()
+    assert [bytes(r["bytes"]) for r in v1] == [bytes(r["bytes"]) for r in v2]
+    assert all(container_frame_count(bytes(r["bytes"])) == r["n_frames"] for r in v1)
+    a1 = audio_table(spark, n_clips=5, seed=9).orderBy("clip_id").collect()
+    a2 = audio_table(spark, n_clips=5, seed=9).orderBy("clip_id").collect()
+    assert [bytes(r["bytes"]) for r in a1] == [bytes(r["bytes"]) for r in a2]
+    assert all(len(bytes(r["bytes"])) == 2 * r["n_samples"] for r in a1)
