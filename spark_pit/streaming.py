@@ -207,3 +207,38 @@ def streaming_pit_features(
     return events.groupBy(entity).applyInPandasWithState(
         fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the stream twin of operators.dedup
+    (reference pipelines dedup per batch; a feed needs bounded state):
+    first row per key wins, duplicate-key state is evicted once the event
+    time falls behind the watermark, so state is O(distinct keys per
+    watermark window) instead of O(stream). Built on the native
+    ``dropDuplicatesWithinWatermark`` operator (JVM state store — no
+    Python in the loop)."""
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_content_dedup(
+    docs: DataFrame,
+    text_col: str,
+    ts: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Content-hash streaming dedup for document feeds: key the stream by
+    ``xxhash64(text)`` (the streaming analogue of dedup.dedup_exact's
+    canonical content hash) and keep the first arrival per hash inside the
+    watermark. The 64-bit hash keeps per-key state to 8 bytes — the
+    trade documented for the batch path (dedup.py) holds on streams."""
+    hashed = docs.withColumn("__content_hash", F.xxhash64(F.col(text_col)))
+    return (
+        hashed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["__content_hash"])
+        .drop("__content_hash")
+    )

@@ -141,3 +141,45 @@ def test_catalog_parquet_fallback(spark, sf_dir):
 
     with pytest.raises(ValueError):
         read_table(spark, f"{sf_dir}/events.parquet", snapshot_id=1)
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
+    """A self-unioned stream (every event delivered twice) dedups back to
+    the batch-distinct row set on the event_id key."""
+    from spark_pit.streaming import streaming_dedup
+
+    src = _stream_events(spark, sf_dir)
+    doubled = src.union(_stream_events(spark, sf_dir))
+    out = streaming_dedup(doubled, ["event_id"], "ts", watermark="1 hour")
+    _run_available_now(out, tmp_path, "dedup")
+    got = spark.sql("select * from dedup").toPandas()
+    n_batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id").distinct().count()
+    )
+    assert len(got) == n_batch
+    assert got["event_id"].is_unique
+
+
+def test_streaming_content_dedup(spark, sf_dir, tmp_path):
+    """Same-text rows collapse to one arrival; the helper hash column does
+    not leak into the output schema."""
+    from spark_pit.streaming import streaming_content_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}")
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", "text",
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ltz").alias("ts"))
+    )
+    out = streaming_content_dedup(docs, "text", "ts", watermark="1 hour")
+    _run_available_now(out, tmp_path, "cdedup")
+    got = spark.sql("select * from cdedup").toPandas()
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text").distinct().count()
+    )
+    assert len(got) == n_distinct
+    assert set(got.columns) == {"doc_id", "text", "ts"}
