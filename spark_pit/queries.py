@@ -1733,6 +1733,74 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.2
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full duplicate clusters: verified MinHash-LSH pairs → connected
+    components → (doc_id, canonical_id, cluster_size); transitive closure
+    the star-join marker can't see. Oracle: same pair SQL + recursive
+    min-label reach CTE (the connected_components oracle pattern)."""
+    from spark_pit.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), "doc_id", "text", threshold=0.2)
+
+
+Q_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE seeds AS (
+  SELECT i AS seed, 2 * i + 1 AS a, 7919 * (i + 1) AS b
+  FROM generate_series(0, 15) AS t(i)
+),
+toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS th
+  FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(tok)
+),
+sigs AS (
+  SELECT t.doc_id, s.seed, min((s.a * t.th + s.b) % 1000000007) AS minhash
+  FROM toks t CROSS JOIN seeds s GROUP BY t.doc_id, s.seed
+),
+banded AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+szs AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+pairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  JOIN szs sa ON sa.doc_id = c.id_a
+  JOIN szs sb ON sb.doc_id = c.id_b
+  GROUP BY c.id_a, c.id_b, sa.sz, sb.sz
+  HAVING CAST(count(*) AS DOUBLE) / (sa.sz + sb.sz - count(*)) >= 0.2
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS n, id_b AS m FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT DISTINCT n, n FROM edges
+  UNION
+  SELECT e.n, reach.r FROM edges e JOIN reach ON e.m = reach.n
+),
+comp AS (SELECT n AS node, min(r) AS component FROM reach GROUP BY n),
+canon AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+sz AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM canon GROUP BY canonical_id
+)
+SELECT canon.doc_id, canon.canonical_id, sz.cluster_size
+FROM canon JOIN sz USING (canonical_id)
+"""
+
+
 def q_minhash_dedup_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc dup marking via band-group star join (linear candidates even
     with giant duplicate clusters) — the scale-shaped dedup surface; the
@@ -2675,6 +2743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "affinity_clusters": q_affinity_clusters,
     "minmax": q_minmax,
     "frame_sample_checksums": q_frame_sample_checksums,
+    "dedup_clusters": q_dedup_clusters,
     "audio_checksums": q_audio_checksums,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
@@ -2772,6 +2841,7 @@ ORACLES: dict[str, str] = {
     "affinity_clusters": Q_AFFINITY_CLUSTERS_SQL,
     "resize_checksums": Q_RESIZE_CHECKSUMS_SQL,
     "frame_sample_checksums": Q_FRAME_SAMPLE_CHECKSUMS_SQL,
+    "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "audio_checksums": Q_AUDIO_CHECKSUMS_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,

@@ -138,3 +138,26 @@ def test_quality_monotone_in_stopwords(spark):
     out = textstats.quality_score(df, "doc_id", "text").toPandas().set_index("doc_id")
     assert out.loc[1, "quality"] > out.loc[2, "quality"]
     assert out.loc[2, "digit_ratio"] > 0.4
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c verify above threshold while a~c does not: the cluster
+    operator still co-clusters all three (transitive closure the star-join
+    marker cannot see) under the min-id canonical; unrelated docs stay
+    singletons with cluster_size 1."""
+    base = [f"w{i}" for i in range(20)]
+    a = " ".join(base)
+    b = " ".join(base[:19] + ["x0"])                  # J(a,b) = 19/21
+    c = " ".join(base[:18] + ["x0", "y0"])            # J(b,c) = 19/21, J(a,c) = 18/22
+    rows = [("da", a), ("db", b), ("dc", c), ("dz", "totally unrelated words here")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = dedup.minhash_lsh_dedup(df, "doc_id", "text", threshold=0.85).toPandas()
+    got_pairs = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert ("da", "db") in got_pairs and ("db", "dc") in got_pairs
+    assert ("da", "dc") not in got_pairs              # below threshold
+    out = dedup.dedup_clusters(df, "doc_id", "text", threshold=0.85).toPandas()
+    out = out.set_index("doc_id")
+    assert set(out.loc[["da", "db", "dc"], "canonical_id"]) == {"da"}
+    assert (out.loc[["da", "db", "dc"], "cluster_size"] == 3).all()
+    assert out.loc["dz", "canonical_id"] == "dz"
+    assert out.loc["dz", "cluster_size"] == 1
