@@ -54,10 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lineage tag recorded in the manifest")
     p.add_argument("--master", default=None,
                    help="only for local runs without spark-submit")
-    p.add_argument("--table-kind", choices=["events", "image"], default="events",
+    p.add_argument("--table-kind", choices=["events", "image", "docs"], default="events",
                    help="'image' = the north-rule image+caption pipeline "
                         "(--events points at images.parquet, --snapshots "
-                        "at the snapshot stream; see spark_pit.datagen CLI)")
+                        "at the snapshot stream; see spark_pit.datagen CLI); "
+                        "'docs' = training-data document pipeline "
+                        "(--events points at documents.parquet): MinHash "
+                        "dedup clusters + token/quality/lang-id/fingerprint "
+                        "features, one manifested table")
+    p.add_argument("--dedup-threshold", type=float, default=0.5,
+                   help="docs kind: exact-Jaccard verify threshold")
     p.add_argument("--params", default=None,
                    help="JSON parameter file (reference import_parameters "
                         "shape, see spark_pit.config); CLI flags win")
@@ -96,6 +102,30 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
             images, snaps, gap_seconds=args.gap_seconds, width=args.width
         )
         entity = "image_id"
+    elif args.table_kind == "docs":
+        from spark_pit.operators.dedup import dedup_clusters
+        from spark_pit.operators.textstats import (
+            doc_fingerprint,
+            lang_id,
+            quality_score,
+            token_stats,
+        )
+
+        docs = spark.read.parquet(args.events)
+        # one wide per-doc feature frame: cluster identity + text features.
+        # every branch keys on doc_id, so AQE coalesces the joins onto the
+        # same hash partitioning; no branch carries text past its own scan.
+        feats = (
+            dedup_clusters(docs, "doc_id", "text", threshold=args.dedup_threshold)
+            .join(token_stats(docs, "doc_id", "text"), "doc_id")
+            .join(quality_score(docs, "doc_id", "text").select(
+                "doc_id", "quality"), "doc_id")
+            .join(lang_id(docs, "doc_id", "text").select(
+                "doc_id", "lang_pred"), "doc_id")
+            .join(doc_fingerprint(docs, "doc_id", "text"), "doc_id")
+            .withColumn("is_dup", F.col("canonical_id") != F.col("doc_id"))
+        )
+        entity = "doc_id"
     else:
         vocab = [v for v in args.vocab.split(",") if v]
         ev = spark.read.parquet(args.events)

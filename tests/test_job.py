@@ -57,3 +57,21 @@ def test_params_json_plumbing(spark, sf_dir, tmp_path):
     assert r["complete"]
     # num_parts=4 from JSON: manifest certifies exactly 4 buckets
     assert {m["part_id"] for m in manifest.read_manifest(out)} == {0, 1, 2, 3}
+
+
+def test_docs_job(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "docs_out")
+    r = run(spark, _args([
+        "--table-kind", "docs",
+        "--events", f"{sf_dir}/documents.parquet",
+        "--dedup-threshold", "0.2",
+        "--out", out, "--num-parts", "4", "--parts-per-batch", "4",
+    ]))
+    assert r["complete"] and r["rows_out"] == 500
+    back = manifest.read_output(spark, out).toPandas()
+    for col in ("canonical_id", "cluster_size", "is_dup",
+                "n_tokens", "quality", "lang_pred", "fingerprint"):
+        assert col in back.columns, col
+    # dup semantics: non-canonical members are flagged, canonicals are not
+    assert (back["is_dup"] == (back["canonical_id"] != back["doc_id"])).all()
+    assert (back.groupby("canonical_id")["cluster_size"].nunique() == 1).all()
