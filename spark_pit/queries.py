@@ -1737,7 +1737,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full duplicate clusters: verified MinHash-LSH pairs → connected
     components → (doc_id, canonical_id, cluster_size); transitive closure
     the star-join marker can't see. Oracle: same pair SQL + recursive
-    min-label reach CTE (the connected_components oracle pattern)."""
+    min-label reach CTE (the connected_components oracle pattern).
+    Oracle-checked at sf0.001 and sf0.01 (the gate scale). At sf0.1 the
+    ORACLE is infeasible — its reach CTE joins every edge against every
+    reach row of the planted ~2,270-doc template cluster (≈10¹⁰
+    intermediate rows/iteration); the ENGINE side stays linear-ish
+    (min-label converges in ~cluster-diameter rounds of equi-joins)."""
     from spark_pit.operators.dedup import dedup_clusters
 
     return dedup_clusters(_docs(spark, sf_dir), "doc_id", "text", threshold=0.2)
