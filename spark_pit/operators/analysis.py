@@ -547,3 +547,85 @@ def mcl_clusters(
     return cur.groupBy("j").agg(F.min("i").alias("cluster")).select(
         F.col("j").alias("node"), "cluster"
     )
+
+
+def tsne_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sample: int = 1000,
+    perplexity: float = 10.0,
+    n_iter: int = 300,
+    seed: int = 42,
+) -> DataFrame:
+    """t-SNE (the reference's last DR row, iAnalysis.TSNE family alongside
+    PCA feature.py:4952-4960) as a BOUNDED-SAMPLE visualization operator —
+    the honest scale shape: t-SNE is O(N²) with a global KL objective and
+    has no faithful distributed form, and its product is a scatter plot,
+    so at 100 TB you take a seeded bounded sample to the driver, embed it,
+    and keep everything upstream (the sampling, the vector assembly)
+    distributed. The embedding itself is a self-contained NumPy
+    implementation (exact affinities with per-point perplexity calibration,
+    early exaggeration, momentum gradient descent) — deterministic given
+    the seed, no sklearn. Returns (id, ts1, ts2) for the sampled rows.
+
+    The sample is rank-deterministic: xxhash64(id, seed) orders the table
+    and the first n_sample rows win, so the same inputs always embed the
+    same subset regardless of partitioning."""
+    import numpy as np
+
+    ranked = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(n_sample)
+    )
+    rows = ranked.collect()  # bounded by n_sample — the documented trade
+    ids = [r[0] for r in rows]
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    n = len(ids)
+    spark = df.sparkSession
+    if n < 3:
+        out = [(i, 0.0, 0.0) for i in ids]
+        return spark.createDataFrame(out, f"{id_col} string, ts1 double, ts2 double")
+
+    # pairwise affinities with per-point beta calibrated to the perplexity
+    D = np.square(X[:, None, :] - X[None, :, :]).sum(-1)
+    logU = np.log(min(perplexity, (n - 1) / 3.0))
+    P = np.zeros((n, n))
+    for i in range(n):
+        lo, hi, beta = 0.0, np.inf, 1.0
+        Di = np.delete(D[i], i)
+        for _ in range(50):
+            w = np.exp(-Di * beta)
+            sw = w.sum()
+            if sw <= 0:
+                H, p = 0.0, w
+            else:
+                p = w / sw
+                H = -np.sum(p * np.log(np.maximum(p, 1e-300)))
+            if abs(H - logU) < 1e-5:
+                break
+            if H > logU:
+                lo, beta = beta, beta * 2 if hi == np.inf else (beta + hi) / 2
+            else:
+                hi, beta = beta, (lo + beta) / 2
+        P[i, np.arange(n) != i] = p
+    P = (P + P.T) / (2.0 * n)
+    P = np.maximum(P, 1e-12)
+
+    rng = np.random.default_rng(seed)
+    Y = rng.normal(0.0, 1e-4, size=(n, 2))
+    dY = np.zeros_like(Y)
+    for it in range(n_iter):
+        px = P * (4.0 if it < 50 else 1.0)  # early exaggeration
+        num = 1.0 / (1.0 + np.square(Y[:, None] - Y[None, :]).sum(-1))
+        np.fill_diagonal(num, 0.0)
+        Q = np.maximum(num / num.sum(), 1e-12)
+        G = 4.0 * (((px - Q) * num)[:, :, None] * (Y[:, None] - Y[None, :])).sum(1)
+        mom = 0.5 if it < 250 else 0.8
+        dY = mom * dY - 100.0 * G
+        Y = Y + dY
+        Y = Y - Y.mean(0)
+    out = [(str(i), round(float(y[0]), 6), round(float(y[1]), 6))
+           for i, y in zip(ids, Y)]
+    return spark.createDataFrame(out, f"{id_col} string, ts1 double, ts2 double")

@@ -2616,6 +2616,19 @@ def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lda_topics(vecs, "user_id", "counts", k=2, seed=42)
 
 
+def q_tsne_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: bounded-sample t-SNE over embeddings (the reference's
+    sklearn TSNE row; self-contained NumPy embedding over a seeded
+    rank-deterministic sample — the documented visualization-scale trade,
+    analysis.tsne_sample docstring)."""
+    from spark_pit.operators.analysis import tsne_sample
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    return tsne_sample(emb, "vec_id", "embedding", n_sample=200, n_iter=250)
+
+
 def q_bisecting_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: MLlib BisectingKMeans over embeddings (the hierarchical-
     clustering analogue of the reference's Agglomerative row,
@@ -2773,6 +2786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lda_topics": q_lda_topics,
     "bisecting_kmeans": q_bisecting_kmeans,
     "pic_clusters": q_pic_clusters,
+    "tsne_sample": q_tsne_sample,
 }
 
 ORACLES: dict[str, str] = {

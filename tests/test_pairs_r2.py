@@ -249,3 +249,27 @@ def test_affinity_decimal_matches_kernel_bitwise(spark):
              .toPandas().sort_values(["g", "node"]).reset_index(drop=True))
         assert a[["g", "node", "cluster"]].astype("int64").equals(
             b[["g", "node", "cluster"]].astype("int64")), f"n_iter={it}"
+
+
+def test_tsne_sample_separates_blobs(spark):
+    """Bounded-sample t-SNE: two 8-dim blobs land in two well-separated
+    2-D groups; same seed → identical coordinates (deterministic sample
+    AND deterministic optimizer)."""
+    from spark_pit.operators.analysis import tsne_sample
+
+    rng = np.random.default_rng(3)
+    rows = [(f"v{i:03d}",
+             (rng.standard_normal(8) + (0.0 if i < 30 else 12.0)).tolist())
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vid string, emb array<double>")
+    out = tsne_sample(df, "vid", "emb", n_sample=60, n_iter=250, seed=42).toPandas()
+    assert len(out) == 60
+    Y = out.sort_values("vid")[["ts1", "ts2"]].to_numpy()
+    blob = np.array([0] * 30 + [1] * 30)
+    ca, cb = Y[blob == 0].mean(0), Y[blob == 1].mean(0)
+    intra = max(np.linalg.norm(Y[blob == 0] - ca, axis=1).max(),
+                np.linalg.norm(Y[blob == 1] - cb, axis=1).max())
+    assert np.linalg.norm(ca - cb) > 1.5 * intra
+    out2 = tsne_sample(df, "vid", "emb", n_sample=60, n_iter=250, seed=42).toPandas()
+    assert out.sort_values("vid").reset_index(drop=True).equals(
+        out2.sort_values("vid").reset_index(drop=True))
