@@ -122,3 +122,35 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, x: (acc * 31 + tok_hash(x)) % HASH_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# GPT-2-style pretokenizer, simplified to the portable subset both regex
+# engines (Java in Spark, RE2 in DuckDB) interpret identically: no
+# lookarounds, no unicode classes — contractions, letter runs, digit runs,
+# punctuation runs (each optionally space-prefixed).
+BPE_PRETOKEN_RE = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+_SUBWORD_LEN = 4  # BPE-ish budget: a merge table ~50k vocab averages 3-5 chars/unit
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token counting (the second leg of the token-counting
+    contract beside whitespace token_stats): pretokenize with the
+    simplified GPT-2 regex, then estimate subword units as ⌈len/4⌉ per
+    pretoken — the standard budget heuristic when the merge table itself
+    is not shipped. Everything stays JVM-side (regexp_extract_all +
+    higher-order aggregate), one narrow projection, no shuffle."""
+    pre = F.expr(
+        f"regexp_extract_all({text_col}, \"{BPE_PRETOKEN_RE}\", 0)"
+    )
+    units = F.aggregate(
+        pre,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.ceil(F.length(F.trim(t)) / F.lit(_SUBWORD_LEN)).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(pre).alias("n_pretokens"),
+        units.alias("n_subwords_est"),
+        F.round(units / F.size(pre), 6).alias("subwords_per_pretoken"),
+    )

@@ -1546,6 +1546,35 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: simplified GPT-2 pretokenizer regex (the
+    portable no-lookaround subset both engines' regex libraries agree on)
+    + ⌈len/4⌉ subword-unit estimate per pretoken, all JVM-side
+    (textstats.bpe_token_stats)."""
+    from spark_pit.operators.textstats import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_BPE_TOKEN_STATS_SQL = """
+WITH pre AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_pretokens,
+       CAST(list_sum(list_transform(toks,
+            t -> CAST(ceil(length(trim(t)) / 4.0) AS BIGINT))) AS BIGINT)
+         AS n_subwords_est,
+       round(CAST(list_sum(list_transform(toks,
+            t -> CAST(ceil(length(trim(t)) / 4.0) AS BIGINT))) AS DOUBLE)
+            / len(toks), 6) AS subwords_per_pretoken
+FROM pre
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.textstats import token_stats
 
@@ -2762,6 +2791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax": q_minmax,
     "frame_sample_checksums": q_frame_sample_checksums,
     "dedup_clusters": q_dedup_clusters,
+    "bpe_token_stats": q_bpe_token_stats,
     "audio_checksums": q_audio_checksums,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
@@ -2861,6 +2891,7 @@ ORACLES: dict[str, str] = {
     "resize_checksums": Q_RESIZE_CHECKSUMS_SQL,
     "frame_sample_checksums": Q_FRAME_SAMPLE_CHECKSUMS_SQL,
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+    "bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,
     "audio_checksums": Q_AUDIO_CHECKSUMS_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,

@@ -161,3 +161,17 @@ def test_dedup_clusters_transitive(spark):
     assert (out.loc[["da", "db", "dc"], "cluster_size"] == 3).all()
     assert out.loc["dz", "canonical_id"] == "dz"
     assert out.loc["dz", "cluster_size"] == 1
+
+
+def test_bpe_token_stats_pretokens(spark):
+    """Simplified GPT-2 pretokenizer: contractions split, punctuation runs
+    separate, subword estimate is ceil(len/4) per trimmed pretoken."""
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "hello world, it's tokenization 2024!")],
+        columns=["doc_id", "text"]))
+    r = textstats.bpe_token_stats(df, "doc_id", "text").collect()[0]
+    # hello| world|,| it|'s| tokenization| 2024|!
+    assert r["n_pretokens"] == 8
+    # 2+2+1+1+1+3+1+1
+    assert r["n_subwords_est"] == 12
+    assert r["subwords_per_pretoken"] == 1.5
