@@ -64,3 +64,29 @@ def write_embeddings(df: DataFrame, path: str, id_col: str, vec_col: str) -> Non
     df.select(id_col, F.col(vec_col).cast("array<float>").alias(vec_col)).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Catalog-bucketed parquet table — the co-located-join storage layout
+    (SURVEY.md §4 / the 100 TB shuffle-minimization lever): two tables
+    bucketed by the same key and count join/aggregate with ZERO exchange
+    on that key; pre-sorting the buckets also drops the sort from
+    sort-merge joins. The engine's own runtime bucketing (pmod(xxhash64))
+    covers one job's internal shuffles; THIS persists the partitioning so
+    every downstream job inherits it — the Spark answer to the "reuse a
+    partitioning across stages" rule. tests/test_sinks_ingest proves the
+    exchange-free plan."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -85,3 +85,41 @@ def test_read_fasta_multiline_and_headers(spark, tmp_path):
     assert out.loc["seq3", "label"] == "0" and bool(out.loc["seq3", "training"])
     assert out.loc["seq3", "sequence"] == "GGGH"
     assert len(out) == 3
+
+
+def test_write_bucketed_join_without_exchange(spark, sf_dir):
+    """Two tables bucketed on the same key join AND aggregate with zero
+    Exchange nodes (the persisted co-located layout); results match the
+    plain-parquet join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_pit.sinks import write_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    try:
+        write_bucketed(ev, "t_ev_bkt", "user_id", 8, ["user_id"])
+        write_bucketed(agg, "t_agg_bkt", "user_id", 8, ["user_id"])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("t_ev_bkt").join(spark.table("t_agg_bkt"), "user_id")
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+            assert plan.count("Exchange") == 0 and "SortMergeJoin" in plan
+            g = spark.table("t_ev_bkt").groupBy("user_id").agg(F.sum("value"))
+            buf2 = io.StringIO()
+            with redirect_stdout(buf2):
+                g.explain("formatted")
+            assert buf2.getvalue().count("Exchange") == 0
+            assert j.count() == ev.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ev_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_agg_bkt")
