@@ -389,3 +389,55 @@ def embedding_neardup_exact(
             "dup_of",
         )
     )
+
+
+def knn_label_fractions_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    train_pred,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """The SCALE path for the KNN descriptor (feature.py:3802-3864): same
+    rank/fraction semantics as :func:`knn_label_fractions`, but candidates
+    come from MULTI-PROBE sign-bit LSH instead of the broadcast all-pairs
+    join — each query probes its home bucket plus every 1-bit flip
+    (n_planes+1 probes), training vectors sit in their home bucket only,
+    so the candidate join is an equi-join on bucket id and each (q, n)
+    pair arises at most once (probe buckets are distinct). Broadcast KNN
+    is right while the training dim stays small; this is the plan when
+    BOTH sides are large. Fractions keep the exact variant's /k
+    denominator, so a query whose probes recover fewer than k true
+    neighbors reports lower mass — the standard ANN recall trade,
+    measured in tests against the exact operator."""
+    bucketed = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, n_planes, seed)
+    base = bucketed.withColumn("norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+    labels = df.select(F.col(id_col).alias("nid"), F.col(label_col).alias("nlabel"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2 ** j)) for j in range(n_planes)],
+    )
+    q = base.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"), F.explode(probes).alias("bucket"),
+    )
+    t = (
+        base.where(train_pred(F.col(id_col)))
+        .select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+            F.col("norm").alias("nn"), "bucket",
+        )
+        .join(labels, "nid")
+    )
+    pairs = q.join(t, "bucket").where(F.col("qid") != F.col("nid")).select(
+        "qid", "nid", "nlabel",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    topk = pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return topk.groupBy("qid", "nlabel").agg(
+        (F.count(F.lit(1)) / F.lit(float(k))).alias("frac")
+    )

@@ -2085,6 +2085,73 @@ SELECT qid, nid, rk, round(cos, 6) AS cos FROM ranked WHERE rk <= 5
 Q_ANN_LSH_SQL = _ann_lsh_sql()
 
 
+def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe-LSH KNN label fractions — the both-sides-large scale
+    path beside the broadcast-exact knn_label_fractions. Oracle-backed via
+    the injected-plane-literal pattern (same as ann_lsh): bucket bits,
+    1-bit-flip probes, rank, and /k fractions all replicate bit-for-bit."""
+    from spark_pit.operators.similarity import knn_label_fractions_ann
+
+    out = knn_label_fractions_ann(
+        _emb(spark, sf_dir), "vec_id", "embedding", "label",
+        train_pred=lambda c: c % 2 == 0, k=5, n_planes=6,
+    )
+    return out.select("qid", "nlabel", F.round("frac", 6).alias("frac"))
+
+
+def _knn_ann_sql(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    from spark_pit.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    plane_lits = ", ".join(
+        "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p) + "]" for p in planes
+    )
+    bit_terms = " + ".join(
+        f"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             [CAST(embedding[i] AS DOUBLE) * pl[{j + 1}][i]
+              for i in generate_series(1, len(embedding))]),
+             (s, v) -> s + v) > 0 THEN {2**j} ELSE 0 END"""
+        for j in range(n_planes)
+    )
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {2**j})" for j in range(n_planes)])
+    return f"""
+WITH pls AS (SELECT [{plane_lits}] AS pl),
+base AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+           (a, b) -> a + b)) AS norm,
+         ({bit_terms}) AS bucket
+  FROM embeddings CROSS JOIN pls
+),
+probes AS (
+  SELECT vec_id, embedding, norm, p.bucket
+  FROM base, unnest([{probe_list}]) AS p(bucket)
+),
+prs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+            for i in generate_series(1, len(a.embedding))]),
+           (s, v) -> s + v) / (a.norm * b.norm) AS cos
+  FROM probes a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE b.vec_id % 2 = 0
+),
+ranked AS (
+  SELECT qid, nid, nlabel, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+  FROM prs
+)
+SELECT qid, nlabel,
+       round(CAST(count(*) AS DOUBLE) / {float(k)!r}, 6) AS frac
+FROM ranked WHERE rk <= {k}
+GROUP BY qid, nlabel
+"""
+
+
+Q_KNN_ANN_SQL = _knn_ann_sql()
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF ANN (k-means cells + nprobe probing; centroid init is
     platform-dependent → no value oracle). The second scale path beside the
@@ -2792,6 +2859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample_checksums": q_frame_sample_checksums,
     "dedup_clusters": q_dedup_clusters,
     "bpe_token_stats": q_bpe_token_stats,
+    "knn_ann": q_knn_ann,
     "audio_checksums": q_audio_checksums,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
@@ -2892,6 +2960,7 @@ ORACLES: dict[str, str] = {
     "frame_sample_checksums": Q_FRAME_SAMPLE_CHECKSUMS_SQL,
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,
+    "knn_ann": Q_KNN_ANN_SQL,
     "audio_checksums": Q_AUDIO_CHECKSUMS_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,

@@ -110,3 +110,28 @@ def test_embedding_neardup_lsh_matches_exact(spark):
     w = want.sort_values("vec_id").reset_index(drop=True)
     assert g["is_dup"].sum() >= 20
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_knn_ann_recall_vs_exact(spark, sf_dir):
+    """Multi-probe LSH KNN: every emitted neighbor is a true training
+    vector, fractions are k-denominated, and probe recall recovers most
+    of the exact operator's top-k mass."""
+    from spark_pit.operators.similarity import (
+        knn_label_fractions,
+        knn_label_fractions_ann,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = knn_label_fractions(
+        emb, "vec_id", "embedding", "label", train_pred=lambda c: c % 2 == 0, k=5
+    ).toPandas()
+    ann = knn_label_fractions_ann(
+        emb, "vec_id", "embedding", "label", train_pred=lambda c: c % 2 == 0,
+        k=5, n_planes=6,
+    ).toPandas()
+    assert (ann["frac"] <= 1.0 + 1e-9).all() and (ann["frac"] > 0).all()
+    # total mass: exact emits exactly 1.0 per query; ANN ≤ 1.0 per query
+    per_q = ann.groupby("qid")["frac"].sum()
+    assert (per_q <= 1.0 + 1e-9).all()
+    # aggregate recall of top-k mass above 60% with 7 probes of 64 buckets
+    assert per_q.sum() / len(exact.groupby("qid")) > 0.6
