@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _hash_tokens(tokens: list[str], dim: int, seed: int) -> np.ndarray:
@@ -88,4 +89,53 @@ def embed_documents(
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} {id_type}, embedding array<float>, n_tokens long"
+    )
+
+
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding-storage
+    compression step of a training pipeline (4× smaller than float32, dot
+    products stay int-SIMD-able downstream): ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)``. Pure JVM higher-order expressions, no
+    shuffle. Zero vectors quantize to zeros with scale 0. round() on
+    doubles is half-away-from-zero in both engines and every float op is
+    a sequential left-fold, so the DuckDB oracle reproduces the codes
+    bit-for-bit (the repo's cross-engine float convention)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("__v")).withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("__v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale"), 0).cast("int"))
+    )
+    return base.select(id_col, "scale", q.cast("array<tinyint>").alias("qvec"))
+
+
+def quantization_error_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector reconstruction report of the int8 quantizer (scalar
+    projection — the driver-verifiable face of quantize_embeddings):
+    scale, max absolute error, and MSE of ``q_i·scale`` vs the original.
+    The error bound is scale/2 by construction; the oracle hash pins the
+    whole quantize→reconstruct round trip."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("__v")).withColumn(
+        "scale", F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    err = F.transform(
+        F.col("__v"),
+        lambda x: F.abs(x - F.round(x / F.col("scale"), 0) * F.col("scale")),
+    )
+    n = F.size(F.col("__v"))
+    mse = F.aggregate(
+        err, F.lit(0.0), lambda a, e: a + e * e
+    ) / n.cast("double")
+    return base.where(F.col("scale") > 0).select(
+        id_col,
+        F.round("scale", 9).alias("scale_r"),
+        F.round(F.array_max(err), 9).alias("max_abs_err"),
+        F.round(mse, 12).alias("mse"),
     )

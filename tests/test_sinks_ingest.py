@@ -123,3 +123,34 @@ def test_write_bucketed_join_without_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ev_bkt")
         spark.sql("DROP TABLE IF EXISTS t_agg_bkt")
+
+
+def test_deterministic_sample_partition_invariant(spark, sf_dir):
+    """Same rows regardless of partition layout (unlike df.sample), salt
+    changes draw an independent set, and the complement is disjoint."""
+    from spark_pit.operators.ingest import deterministic_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    a = set(r[0] for r in deterministic_sample(ev, "event_id", 0.3).collect())
+    b = set(r[0] for r in deterministic_sample(
+        ev.repartition(7), "event_id", 0.3).collect())
+    assert a == b and 0.2 < len(a) / 1000 < 0.4
+    c = set(r[0] for r in deterministic_sample(ev, "event_id", 0.3, salt="s2").collect())
+    assert c != a
+    # threshold split: 0.3 sample is a subset of the 0.6 sample (same salt)
+    d = set(r[0] for r in deterministic_sample(ev, "event_id", 0.6).collect())
+    assert a <= d
+
+
+def test_stratified_sample_per_stratum_rates(spark, sf_dir):
+    from spark_pit.operators.ingest import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(
+        docs, "doc_id", "source",
+        fractions={"src0": 1.0, "src1": 0.0}, default_fraction=0.2,
+    ).groupBy("source").count().toPandas().set_index("source")["count"]
+    assert kept.get("src0") == 25          # fraction 1.0 keeps everything
+    assert "src1" not in kept.index        # fraction 0.0 keeps nothing
+    rest = kept.drop("src0", errors="ignore").sum()
+    assert 0.05 < rest / (18 * 25) < 0.4   # default 0.2 on 18 strata
