@@ -154,3 +154,37 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         units.alias("n_subwords_est"),
         F.round(units / F.size(pre), 6).alias("subwords_per_pretoken"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/C4-style quality
+    filters a pretraining corpus is cleaned with: the fraction of
+    duplicated word 2-grams and 3-grams (1 − distinct/total; heavily
+    templated or looping text scores high) plus the max single-token
+    share. Pure array expressions on the token list — no explode, no
+    shuffle; the n-gram arrays never leave the row."""
+    toks = tokens(F.col(text_col))
+
+    def dup_frac(n: int):
+        # CASE guards the short-doc branch BEFORE sequence() runs, so a
+        # doc with fewer than n tokens never builds a descending range
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.slice(toks, i + 1, n).cast("string"),
+        )
+        return F.when(F.size(toks) < n, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+        )
+
+    top_tok_share = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    ) / F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.round(dup_frac(2), 6).alias("dup_bigram_frac"),
+        F.round(dup_frac(3), 6).alias("dup_trigram_frac"),
+        F.round(top_tok_share, 6).alias("top_token_share"),
+    )

@@ -1575,6 +1575,43 @@ FROM pre
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style within-document repetition filters (duplicate
+    2-/3-gram fractions + max token share) — pure array expressions, no
+    shuffle (textstats.repetition_stats). The n-gram string encodings only
+    feed DISTINCT counts, so each engine's own list-to-string form is fine
+    — injectivity within the engine is all the comparison needs."""
+    from spark_pit.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_REPETITION_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         [CAST(toks[i+1:i+2] AS VARCHAR)
+          for i in generate_series(0, len(toks) - 2)] AS g2,
+         [CAST(toks[i+1:i+3] AS VARCHAR)
+          for i in generate_series(0, len(toks) - 3)] AS g3
+  FROM t
+)
+SELECT doc_id,
+       round(CASE WHEN len(toks) < 2 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 6)
+         AS dup_bigram_frac,
+       round(CASE WHEN len(toks) < 3 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6)
+         AS dup_trigram_frac,
+       round(CAST(list_max([len(list_filter(toks, x -> x = tk))
+                            for tk in list_distinct(toks)]) AS DOUBLE)
+             / len(toks), 6) AS top_token_share
+FROM g
+"""
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization, driver-verified via the per-vector
     reconstruction report (scale / max-abs-err / MSE are scalars; the
@@ -2928,6 +2965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ann": q_knn_ann,
     "stratified_sample": q_stratified_sample,
     "quantize_embeddings": q_quantize_embeddings,
+    "repetition_stats": q_repetition_stats,
     "audio_checksums": q_audio_checksums,
     "zip_label_join": q_zip_label_join,
     "trigrams": q_trigrams,
@@ -3031,6 +3069,7 @@ ORACLES: dict[str, str] = {
     "knn_ann": Q_KNN_ANN_SQL,
     "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "quantize_embeddings": Q_QUANTIZE_EMB_SQL,
+    "repetition_stats": Q_REPETITION_STATS_SQL,
     "audio_checksums": Q_AUDIO_CHECKSUMS_SQL,
     "simhash": Q_SIMHASH_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,

@@ -175,3 +175,18 @@ def test_bpe_token_stats_pretokens(spark):
     # 2+2+1+1+1+3+1+1
     assert r["n_subwords_est"] == 12
     assert r["subwords_per_pretoken"] == 1.5
+
+
+def test_repetition_stats_planted(spark):
+    """Known repetition fractions on planted docs; short-doc guard."""
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z"), (3, "solo")],
+        columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_stats(df, "doc_id", "text").collect()}
+    # bigrams of doc 1: ab ba ab ba ab -> 2 distinct of 5
+    assert out[1]["dup_bigram_frac"] == 0.6
+    assert out[1]["dup_trigram_frac"] == 0.5
+    assert out[1]["top_token_share"] == 0.5
+    assert out[2]["dup_bigram_frac"] == 0.0 and out[2]["top_token_share"] < 0.2
+    assert out[3]["dup_bigram_frac"] == 0.0 and out[3]["top_token_share"] == 1.0
