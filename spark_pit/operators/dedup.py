@@ -158,6 +158,20 @@ def jaccard_for_pairs(
     )
 
 
+def _check_banding(n_hashes: int, bands: int, rows_per_band: int) -> None:
+    """Banding always derives from (n_hashes, rows_per_band); an explicit
+    ``bands`` that disagrees would silently change recall, so reject it."""
+    if n_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be a multiple of rows_per_band={rows_per_band}"
+        )
+    if bands != n_hashes // rows_per_band:
+        raise ValueError(
+            f"bands={bands} inconsistent: n_hashes={n_hashes} / "
+            f"rows_per_band={rows_per_band} gives {n_hashes // rows_per_band} bands"
+        )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -170,6 +184,7 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: signatures → LSH candidates → exact verify.
     Candidates come from the wide-agg band path (one token-agg shuffle +
     one band equi-join; no seed row blowup, no collect_list regroup)."""
+    _check_banding(n_hashes, bands, rows_per_band)
     banded = minhash_band_sigs(df, id_col, text_col, n_hashes, rows_per_band)
     pairs = _band_join(banded, id_col)
     return jaccard_for_pairs(pairs, df, id_col, text_col).where(
@@ -381,23 +396,40 @@ def dedup_clusters(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """The end of the dedup pipeline a 100 TB corpus actually needs: full
-    duplicate CLUSTERS, not pairs. Verified near-dup pairs (MinHash bands →
-    exact Jaccard, minhash_lsh_dedup) become an undirected graph whose
-    connected components are the duplicate clusters; every doc maps to
-    ``canonical_id`` = the smallest doc id in its component (itself when
-    unique) plus the cluster size. This closes the one-hop gap of
-    minhash_dedup_mark (star semantics miss transitive duplicates:
-    a~b, b~c but a≁c still co-cluster here).
+    duplicate CLUSTERS, not pairs. Candidate edges are the STAR edges of
+    each band bucket — (bucket-min id → member), the same generator as
+    ``minhash_dedup_mark`` — verified with exact Jaccard, then fed to
+    connected components; every doc maps to ``canonical_id`` = the smallest
+    doc id in its component (itself when unique) plus the cluster size.
+    Transitive duplicates still co-cluster (a~b via one band's star, b~c
+    via another's), which is the gap the one-hop marker can't close.
 
-    Scale shape: the pair graph is SPARSE (only verified near-dups), and
-    min-label propagation costs one equi-join + one partial-agg shuffle per
-    round, rounds = duplicate-cluster diameter (tiny — near-dup clusters
-    are dense). All keys hash on the node id, so a giant cluster spreads
-    across partitions; no all-pairs step anywhere."""
+    Scale shape (the round-2 fix): a band bucket of k docs contributes
+    O(k) star edges, NOT the O(k²) intra-bucket pairs the pair-emitting
+    ``minhash_lsh_dedup`` generator materializes — a 10⁷-doc boilerplate
+    cluster at 100 TB is 10⁷ candidate edges instead of 10¹⁴ pairs. The
+    verified edge graph is sparse, and min-label propagation costs one
+    equi-join + one partial-agg shuffle per round, rounds = component
+    diameter (≤ ~2× band count for star graphs: member → bucket min →
+    member). All keys hash on the node id, so a giant cluster spreads
+    across partitions; no all-pairs step anywhere. Trade vs the pair
+    generator: a member whose Jaccard to its bucket min is below threshold
+    is not linked through THAT bucket even if it clears threshold with a
+    sibling — the standard star-candidate trade (same as dedup_mark), and
+    near-identical duplicate clusters verify against the min anyway."""
     from spark_pit.operators.graph import connected_components
 
-    pairs = minhash_lsh_dedup(
-        df, id_col, text_col, threshold, n_hashes, bands, rows_per_band
+    _check_banding(n_hashes, bands, rows_per_band)
+    banded = minhash_band_sigs(df, id_col, text_col, n_hashes, rows_per_band)
+    gmin = banded.groupBy("band", "band_sig").agg(F.min(id_col).alias("id_a"))
+    cand = (
+        banded.join(gmin, ["band", "band_sig"])
+        .where(F.col(id_col) > F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    pairs = jaccard_for_pairs(cand, df, id_col, text_col).where(
+        F.col("jaccard") >= threshold
     )
     edges = pairs.select(
         F.lit(0).alias("__g"), F.col("id_a").alias("a"), F.col("id_b").alias("b")

