@@ -571,7 +571,10 @@ def tsne_sample(
 
     The sample is rank-deterministic: xxhash64(id, seed) orders the table
     and the first n_sample rows win, so the same inputs always embed the
-    same subset regardless of partitioning."""
+    same subset regardless of partitioning. Ids are returned AS STRINGS
+    in every branch (the output schema is `{id_col} string` — a plot
+    legend key, not a join key); pass pre-cast string ids to keep dtypes
+    round-trippable."""
     import numpy as np
 
     ranked = (
@@ -585,7 +588,9 @@ def tsne_sample(
     n = len(ids)
     spark = df.sparkSession
     if n < 3:
-        out = [(i, 0.0, 0.0) for i in ids]
+        # stringify like the main path so both branches agree on the
+        # declared `{id_col} string` schema for non-string id columns
+        out = [(str(i), 0.0, 0.0) for i in ids]
         return spark.createDataFrame(out, f"{id_col} string, ts1 double, ts2 double")
 
     # pairwise affinities with per-point beta calibrated to the perplexity

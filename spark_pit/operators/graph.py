@@ -4,10 +4,10 @@ The reference builds a residue ε-graph (edge iff 3-D distance <= cutoff,
 feature.py:4593-4598) and emits global stats + per-node degree/clustering
 plus networkx centralities (feature.py:4601-4609). Implemented here:
 degree/triangles/clustering (pure joins), eigenvector centrality (bounded
-power iteration of DataFrame joins), and connected components (min-label
-propagation). Betweenness/closeness/all-pairs shortest paths stay a
-documented gap (inherently O(V·E) traversals — GraphFrames territory).
-The non-iterative slice:
+power iteration of DataFrame joins), connected components (min-label
+propagation), level-synchronized BFS shortest paths, closeness, and
+Brandes betweenness (exact + Brandes–Pich sampled-source estimator for
+hub-entity graphs). The non-iterative slice:
 
 - edge list: banded-range self-join on the 1-D coordinate (same
   bucketing trick as rangejoin.py — hash equi-join, no nested loop)
@@ -308,7 +308,11 @@ def dbscan_clusters(
 
 
 def betweenness_centrality(
-    edges: DataFrame, entity: str, max_hops: int = 30
+    edges: DataFrame,
+    entity: str,
+    max_hops: int = 30,
+    sample_sources: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Betweenness centrality (reference nx.betweenness_centrality,
     feature.py:4606; networkx-default NORMALIZED form, undirected:
@@ -323,11 +327,40 @@ def betweenness_centrality(
       then the networkx normalization 2/((n-1)(n-2)).
 
     Per-entity state is O(V²) like shortest_paths — the reference's own
-    per-graph regime; levels are bounded by the entity diameter, each level
-    is one partitioned join + one aggregation, lineage truncated per level.
+    per-graph regime (protein contact graphs, V ≈ sequence length).
+
+    ``sample_sources=s`` switches to the Brandes–Pich sampled estimator:
+    per entity, only s seeded sources (xxhash64 rank — deterministic,
+    partitioning-invariant) drive the sweeps and every contribution is
+    scaled by V/s, so state drops to O(s·V) per entity. This removes the
+    100×-scale hazard of one hub entity with a 10⁵-node graph stalling
+    the stage (exact Brandes holds 10¹⁰ (src, node) rows for it; s=64
+    sampled holds 6.4M). Exact (sample_sources=None) stays the default
+    and the oracle path; sampled ≈ exact is asserted on the fixture
+    graphs in tests/test_graph_iter.
     """
+    from pyspark.sql import Window
+
     und = _undirected(edges, entity)
     sp = shortest_paths(edges, entity, max_hops)
+    n_src = None
+    if sample_sources is not None:
+        srcs = (
+            sp.select(entity, "src").distinct()
+            .withColumn(
+                "__r",
+                F.row_number().over(
+                    Window.partitionBy(entity).orderBy(
+                        F.xxhash64(F.col("src").cast("string"), F.lit(seed)), "src"
+                    )
+                ),
+            )
+            .where(F.col("__r") <= sample_sources)
+            .select(entity, "src")
+            .localCheckpoint()
+        )
+        sp = sp.join(srcs, [entity, "src"])
+        n_src = srcs.groupBy(entity).agg(F.count(F.lit(1)).alias("__s"))
     d_max = sp.agg(F.max("dist")).first()[0] or 0
     # ---- forward sweep: path counts σ per (src, node), level by level
     sigma = sp.where(F.col("dist") == 0).select(
@@ -378,18 +411,23 @@ def betweenness_centrality(
     if delta_acc is None:
         return nodes.select(entity, F.col("n").alias("node"), F.lit(0.0).alias("betweenness"))
     raw = delta_acc.groupBy(entity, "node").agg((F.sum("b") / 2.0).alias("raw"))
-    return (
+    out = (
         nodes.select(entity, F.col("n").alias("node"))
         .join(raw, [entity, "node"], "left")
         .na.fill({"raw": 0.0})
         .join(F.broadcast(n_nodes), entity)
-        .select(
-            entity, "node",
-            F.when(
-                F.col("__n") > 2,
-                F.col("raw") * 2.0 / ((F.col("__n") - 1) * (F.col("__n") - 2)),
-            ).otherwise(F.lit(0.0)).alias("betweenness"),
+    )
+    if n_src is not None:
+        # Brandes–Pich extrapolation: scale sampled-source sums by V/s
+        out = out.join(F.broadcast(n_src), entity).withColumn(
+            "raw", F.col("raw") * F.col("__n") / F.col("__s")
         )
+    return out.select(
+        entity, "node",
+        F.when(
+            F.col("__n") > 2,
+            F.col("raw") * 2.0 / ((F.col("__n") - 1) * (F.col("__n") - 2)),
+        ).otherwise(F.lit(0.0)).alias("betweenness"),
     )
 
 

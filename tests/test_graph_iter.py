@@ -211,3 +211,32 @@ def test_eigenvector_centrality_is_per_entity(spark):
     assert len(out) == 5
     g2 = out[out["g"] == 2]["centrality"].to_numpy()
     assert np.allclose(g2, [1 / np.sqrt(2)] * 2, atol=1e-6)
+
+
+def test_betweenness_sampled_sources(spark):
+    """Brandes–Pich sampled-source estimator: with s >= V the sample is the
+    full source set and the V/s scale is 1, so values equal exact Brandes
+    bit-for-bit; with s < V the seeded estimator still ranks the bridge
+    endpoints of the barbell graph on top and stays within a loose
+    absolute band of exact (deterministic seed → stable assertion)."""
+    from spark_pit.operators.graph import betweenness_centrality
+
+    # barbell: two 4-cliques joined by a 2-edge path through node 8
+    clique = lambda off: [(a + off, b + off) for a in range(4) for b in range(a + 1, 4)]
+    rows = [(1, a, b) for a, b in clique(0) + clique(4) + [(3, 8), (8, 7)]]
+    df = _edges_df(spark, rows)
+    exact = betweenness_centrality(df, "g").toPandas()
+    full = betweenness_centrality(df, "g", sample_sources=100).toPandas()
+    e = dict(zip(exact["node"], exact["betweenness"]))
+    f = dict(zip(full["node"], full["betweenness"]))
+    assert set(e) == set(f)
+    for v in e:
+        assert f[v] == pytest.approx(e[v], abs=1e-9)
+
+    samp = betweenness_centrality(df, "g", sample_sources=5, seed=7).toPandas()
+    s = dict(zip(samp["node"], samp["betweenness"]))
+    # bridge path (3, 8, 7) dominates in both exact and sampled rankings
+    top3 = sorted(s, key=s.get, reverse=True)[:3]
+    assert set(top3) == {3, 7, 8}
+    for v in e:
+        assert abs(s[v] - e[v]) < 0.25, (v, s[v], e[v])

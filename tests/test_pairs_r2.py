@@ -35,7 +35,10 @@ def test_ksctriad_matches_reference_loop(spark):
     out = ksctriad(_seq_df(spark, SEQS), "user_id", "ts", "event_type",
                    gap=gap, tiebreak="event_id").toPandas()
     assert set(out["user_id"]) == {1, 2}  # entity 3 fails the 2g+3 guard
-    # brute force per CalculateKSCTriad (feature.py:2052-2068), sparse form
+    # brute force per CalculateKSCTriad (feature.py:2052-2068): myDict is
+    # pre-initialized with EVERY triad of the reduced alphabet at 0, so the
+    # min is over the full dense vector (0 unless all |groups|^3 present)
+    full_space = len(set(GROUP_MAP_DEFAULT.values())) ** 3
     for ent, s in SEQS.items():
         toks = [GROUP_MAP_DEFAULT[t] for t in s.split()]
         if len(toks) < 2 * gap + 3:
@@ -46,7 +49,8 @@ def test_ksctriad_matches_reference_loop(spark):
                 if i + 2 * g + 2 < len(toks):
                     key = (toks[i], toks[i + g + 1], toks[i + 2 * g + 2])
                     cnt[key] = cnt.get(key, 0) + 1
-            mn, mx = min(cnt.values()), max(cnt.values())
+            mn = min(cnt.values()) if len(cnt) >= full_space else 0
+            mx = max(cnt.values())
             sub = out[(out["user_id"] == ent) & (out["g"] == g)]
             assert len(sub) == len(cnt)
             for r in sub.itertuples():
