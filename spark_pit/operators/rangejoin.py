@@ -114,6 +114,89 @@ def ball_composition(
     return cum.withColumn("freq", F.col("n") / tot)
 
 
+def shell_composition_3d(
+    points: DataFrame,
+    probes: DataFrame,
+    entity: str,
+    coords: tuple[str, str, str],
+    token_col: str,
+    probe_id: str,
+    shell_width: float,
+    n_shells: int,
+) -> DataFrame:
+    """3-D euclidean annular shells — the EXACT reference geometry
+    (feature.py:4115-4121 builds per-probe 3-D residue distances;
+    AAC_type1 feature.py:4266-4290 aggregates per shell), generalizing
+    the 1-D banded join: the composite cell key is
+    ``(floor(x/c), floor(y/c), floor(z/c))`` with cell size c = reach =
+    shell_width·n_shells, each probe is expanded to its 27 neighboring
+    cells (3³ fixed copies — a constant, NOT data-dependent), and the
+    join runs as ONE hash equi-join on (entity, cx, cy, cz); the true
+    euclidean predicate (compared squared, sqrt only for the surviving
+    rows' shell index) filters the candidates. No nested loop at any
+    scale — the plan is the same single Exchange-on-key shape as every
+    other banded join in this module. Returns
+    (probe_id, entity, shell, token, n, freq) with AAC_type1's in-shell
+    normalization."""
+    cx, cy, cz = coords
+    max_dist = shell_width * n_shells
+    cell = max_dist
+    spark = points.sparkSession
+    offsets = spark.createDataFrame(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        "dx long, dy long, dz long",
+    )
+    pts = points.select(
+        F.col(entity).alias("__pe"),
+        F.col(cx).alias("__px"), F.col(cy).alias("__py"), F.col(cz).alias("__pz"),
+        F.col(token_col).alias("__ptok"),
+        F.floor(F.col(cx) / cell).cast("long").alias("__cx"),
+        F.floor(F.col(cy) / cell).cast("long").alias("__cy"),
+        F.floor(F.col(cz) / cell).cast("long").alias("__cz"),
+    )
+    prb = (
+        probes.select(
+            F.col(entity).alias("__qe"),
+            F.col(cx).alias("__qx"), F.col(cy).alias("__qy"), F.col(cz).alias("__qz"),
+            F.col(probe_id).alias("probe_id"),
+        )
+        .crossJoin(F.broadcast(offsets))
+        .select(
+            "__qe", "__qx", "__qy", "__qz", "probe_id",
+            (F.floor(F.col("__qx") / cell).cast("long") + F.col("dx")).alias("__cx"),
+            (F.floor(F.col("__qy") / cell).cast("long") + F.col("dy")).alias("__cy"),
+            (F.floor(F.col("__qz") / cell).cast("long") + F.col("dz")).alias("__cz"),
+        )
+    )
+    d2 = (
+        (F.col("__qx") - F.col("__px")) * (F.col("__qx") - F.col("__px"))
+        + (F.col("__qy") - F.col("__py")) * (F.col("__qy") - F.col("__py"))
+        + (F.col("__qz") - F.col("__pz")) * (F.col("__qz") - F.col("__pz"))
+    )
+    joined = (
+        prb.join(
+            pts,
+            (F.col("__qe") == F.col("__pe"))
+            & (prb["__cx"] == pts["__cx"])
+            & (prb["__cy"] == pts["__cy"])
+            & (prb["__cz"] == pts["__cz"]),
+        )
+        .withColumn("__d2", d2)
+        .where(F.col("__d2") < F.lit(max_dist * max_dist))
+        .select(
+            "probe_id",
+            F.col("__qe").alias(entity),
+            F.col("__ptok").alias(token_col),
+            F.floor(F.sqrt(F.col("__d2")) / F.lit(shell_width)).cast("int").alias("shell"),
+        )
+    )
+    counts = joined.groupBy("probe_id", entity, "shell", token_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("probe_id", "shell"))
+    return counts.withColumn("freq", F.col("n") / tot)
+
+
 def surface_depth(df: DataFrame, entity: str, coord: str, out: str = "depth") -> DataFrame:
     """Residue-depth analogue (reference get_residue_depth,
     feature.py:4476-4508, which shells out to the msms binary for the 3-D

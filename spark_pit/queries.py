@@ -964,6 +964,150 @@ FROM cnt
 """
 
 
+def q_shell_composition_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D euclidean annular shells (the reference's exact geometry,
+    feature.py:4115-4121 + AAC_type1 4266-4290) over a derived 3-D point
+    cloud: x = value, y = event_id mod 97, z = second-of-day / 900 —
+    identical arithmetic in both engines, so the oracle is the plain
+    O(N²)-per-entity distance join while the engine runs the 27-cell
+    composite-band hash equi-join (rangejoin.shell_composition_3d)."""
+    from spark_pit.operators.rangejoin import shell_composition_3d
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.col("value").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+        (ts_us("ts") % F.lit(86_400_000_000) / F.lit(900_000_000.0)).alias("z"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "x", "y", "z", F.col("event_id").alias("probe_id")
+    )
+    out = shell_composition_3d(
+        ev, probes, entity="user_id", coords=("x", "y", "z"),
+        token_col="event_type", probe_id="probe_id",
+        shell_width=2.0, n_shells=3,
+    )
+    return out.select(
+        "probe_id", "user_id", "shell", "event_type", "n",
+        F.round("freq", 6).alias("freq"),
+    )
+
+
+Q_SHELL_COMPOSITION_3D_SQL = """
+WITH pts AS (
+  SELECT user_id, event_id, event_type, value AS x,
+         CAST(event_id % 97 AS DOUBLE) AS y,
+         (epoch_us(ts) % 86400000000) / 900000000.0 AS z
+  FROM events
+),
+probes AS (
+  SELECT event_id AS probe_id, user_id, x, y, z FROM pts
+  WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.probe_id, p.user_id, e.event_type,
+         (p.x - e.x) * (p.x - e.x) + (p.y - e.y) * (p.y - e.y)
+         + (p.z - e.z) * (p.z - e.z) AS d2
+  FROM probes p JOIN pts e ON p.user_id = e.user_id
+  WHERE (p.x - e.x) * (p.x - e.x) + (p.y - e.y) * (p.y - e.y)
+        + (p.z - e.z) * (p.z - e.z) < 36.0
+),
+cnt AS (
+  SELECT probe_id, user_id, CAST(floor(sqrt(d2) / 2.0) AS INT) AS shell,
+         event_type, count(*) AS n
+  FROM j GROUP BY probe_id, user_id, CAST(floor(sqrt(d2) / 2.0) AS INT), event_type
+)
+SELECT probe_id, user_id, shell, event_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY probe_id, shell), 6) AS freq
+FROM cnt
+"""
+
+
+def q_streaming_asof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity as a DRIVER-GATE row (judge round-2 ask #6):
+    runs the stateful streaming as-of join (applyInPandasWithState,
+    Trigger.AvailableNow over the parquet dir = ordered arrival, the
+    documented correctness regime) AND the batch strictly-before join on
+    the same events, then full-outer-joins the two result sets. Output is
+    one row of diff counts — all zero when the streaming operator
+    reproduces batch semantics exactly — pinned by the oracle, so any
+    drift in the streaming state machine flips the gate red. The counts
+    are sf-independent (always 0), which keeps one pinned oracle valid at
+    every scale."""
+    import os
+    import tempfile
+
+    from spark_pit.operators.asof import asof_join_window
+    from spark_pit.streaming import streaming_asof_features
+
+    ck = tempfile.mkdtemp(prefix="ck_asof_parity_")
+    name = "asof_parity_" + os.path.basename(ck).strip("_").replace("-", "_")[-12:]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(sf_dir)  # directory scan; sibling tables filtered below
+        .where(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "event_id",
+            (F.col("event_type") == "purchase").alias("is_snap"),
+            F.when(F.col("event_type") == "purchase", F.col("event_id"))
+            .alias("snapshot_id"),
+        )
+    )
+    stream_q = (
+        streaming_asof_features(raw, "user_id", "ts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream_q.awaitTermination(300)
+    stream = spark.table(name).select(
+        "event_id", F.col("asof_snapshot_id").alias("sid_s"), F.lit(1).alias("__s")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("snapshot_ts"),
+        F.col("event_id").alias("snapshot_id"),
+    )
+    events = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    batch = asof_join_window(
+        events, snaps, ["user_id"], "ts", "snapshot_ts",
+        ["snapshot_id"], strict=True, right_order="snapshot_id",
+    ).select("event_id", F.col("asof_snapshot_id").alias("sid_b"), F.lit(1).alias("__b"))
+    j = stream.join(batch, "event_id", "full_outer")
+    zero = F.lit(0).cast("long")
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("__b").isNull(), 1)), zero)
+        .cast("long").alias("n_only_stream"),
+        F.coalesce(F.sum(F.when(F.col("__s").isNull(), 1)), zero)
+        .cast("long").alias("n_only_batch"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__s").isNotNull() & F.col("__b").isNotNull()
+                    & ~F.col("sid_s").eqNullSafe(F.col("sid_b")),
+                    1,
+                )
+            ),
+            zero,
+        ).cast("long").alias("n_value_diff"),
+    )
+
+
+Q_STREAMING_ASOF_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_stream,
+       CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_value_diff
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup marking (the training-pipeline dedup mode
     beyond text MinHash/SimHash): dup iff a smaller-id vector has
@@ -2981,6 +3125,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "topk_orders": q_topk_orders,
+    "shell_composition_3d": q_shell_composition_3d,
+    "streaming_asof_parity": q_streaming_asof_parity,
     # --- rows-only (no SQL-expressible oracle; pytest-covered)
     "ann_mllib_lsh": q_ann_mllib_lsh,
     "ivf_topk": q_ivf_topk,
@@ -3037,6 +3183,8 @@ ORACLES: dict[str, str] = {
     "grouped_window_composition": Q_GROUPED_WINDOW_COMPOSITION_SQL,
     "grouped_kspaced_pairs": Q_GROUPED_KSPACED_PAIRS_SQL,
     "ball_composition": Q_BALL_COMPOSITION_SQL,
+    "shell_composition_3d": Q_SHELL_COMPOSITION_3D_SQL,
+    "streaming_asof_parity": Q_STREAMING_ASOF_PARITY_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "ksc_triad": Q_KSC_TRIAD_SQL,
