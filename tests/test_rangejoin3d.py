@@ -1,0 +1,65 @@
+"""3-D banded range join: the 27-cell composite-band equi-join must agree
+with brute-force euclidean shell assignment, including points that sit in
+diagonal neighbor cells and points just inside/outside the reach."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from spark_pit.operators.rangejoin import shell_composition_3d
+
+
+def test_shell_3d_matches_brute_force(spark):
+    rng = np.random.default_rng(11)
+    shell_width, n_shells = 1.0, 3  # reach 3.0, cell size 3.0
+    pts = []
+    # deliberate geometry around probe (0,0,0): on-axis, diagonal-cell,
+    # boundary-straddling, and out-of-reach points
+    fixed = [
+        (0.0, 0.0, 0.0),      # the probe itself → shell 0
+        (0.5, 0.0, 0.0),      # shell 0
+        (1.5, 0.0, 0.0),      # shell 1
+        (2.9, 0.0, 0.0),      # shell 2
+        (3.1, 0.0, 0.0),      # out (d > 3.0) but same/adjacent cell
+        (2.0, 2.0, 0.0),      # d≈2.83 → shell 2, diagonal cell
+        (1.8, 1.8, 1.8),      # d≈3.12 → out, diagonal cell
+        (-1.2, 0.3, -0.4),    # negative coords (floor band correctness)
+        (-2.95, -0.1, 0.0),   # d≈2.95 → shell 2, negative neighbor cell
+    ]
+    for i, (x, y, z) in enumerate(fixed):
+        pts.append((1, i, "a" if i % 2 == 0 else "b", x, y, z))
+    # random cloud, both entities
+    for i, v in enumerate(rng.uniform(-5, 5, size=(60, 3))):
+        pts.append((1 + i % 2, 100 + i, "c", *map(float, v)))
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["ent", "pid", "tok", "x", "y", "z"])
+    )
+    probes = df.where("pid == 0 or pid == 101").selectExpr(
+        "ent", "pid as probe_id", "x", "y", "z"
+    )
+    out = shell_composition_3d(
+        df, probes, entity="ent", coords=("x", "y", "z"), token_col="tok",
+        probe_id="probe_id", shell_width=shell_width, n_shells=n_shells,
+    ).toPandas()
+
+    # brute force
+    pdf = pd.DataFrame(pts, columns=["ent", "pid", "tok", "x", "y", "z"])
+    want: dict[tuple, int] = {}
+    for _, q in pdf[pdf["pid"].isin([0, 101])].iterrows():
+        sub = pdf[pdf["ent"] == q["ent"]]
+        d = np.sqrt(
+            (sub["x"] - q["x"]) ** 2 + (sub["y"] - q["y"]) ** 2
+            + (sub["z"] - q["z"]) ** 2
+        )
+        for tok, dist in zip(sub["tok"], d):
+            if dist < shell_width * n_shells:
+                key = (q["pid"], int(dist // shell_width), tok)
+                want[key] = want.get(key, 0) + 1
+    got = {
+        (r.probe_id, r.shell, r.tok): r.n for r in out.itertuples()
+    }
+    assert got == want
+    # freq normalizes within (probe, shell)
+    sums = out.groupby(["probe_id", "shell"])["freq"].sum()
+    assert np.allclose(sums, 1.0)
