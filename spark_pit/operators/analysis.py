@@ -549,6 +549,76 @@ def mcl_clusters(
     )
 
 
+def agglomerative_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    n_sample: int = 500,
+    seed: int = 42,
+) -> DataFrame:
+    """TRUE agglomerative hierarchical clustering (reference iAnalysis
+    Agglomerative, feature.py:4824-4836 — sklearn AgglomerativeClustering,
+    average linkage), closing the round-2 gap where BisectingKMeans stood
+    in as a divisive analogue. Honest scale shape, same as tsne_sample:
+    the algorithm is O(n²) memory / O(n³) time with a global merge order
+    — no faithful distributed form — so a seeded rank-deterministic
+    bounded sample (xxhash64 order, partitioning-invariant) comes to the
+    driver and is clustered by exact Lance–Williams average-linkage
+    merges; everything upstream (sampling, vector assembly) stays
+    distributed. Fully deterministic — the algorithm itself has NO random
+    state (ties broken by smallest cluster index pair), so unlike the
+    EM-family fixtures no seed search is needed for the pinned oracle.
+
+    Returns (id, cluster) with cluster = the MIN member id of the merged
+    cluster (canonical labels, same convention as the fixture pins); id
+    dtype passes through unchanged."""
+    import numpy as np
+
+    ranked = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(n_sample)
+    )
+    rows = ranked.collect()  # bounded by n_sample — the documented trade
+    ids = [r[0] for r in rows]
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    n = len(ids)
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, cluster {id_type}"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    # pairwise euclidean distances; clusters merge by smallest average
+    # inter-cluster distance, Lance-Williams update keeps it exact
+    D = np.sqrt(np.maximum(np.square(X[:, None, :] - X[None, :, :]).sum(-1), 0.0))
+    np.fill_diagonal(D, np.inf)
+    members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    active = sorted(members)
+    while len(active) > k:
+        sub = D[np.ix_(active, active)]
+        flat = int(np.argmin(sub))
+        ai, aj = divmod(flat, len(active))
+        if ai > aj:
+            ai, aj = aj, ai
+        ci, cj = active[ai], active[aj]  # merge cj into ci
+        ni, nj = len(members[ci]), len(members[cj])
+        for o in active:
+            if o in (ci, cj):
+                continue
+            D[ci, o] = D[o, ci] = (ni * D[ci, o] + nj * D[cj, o]) / (ni + nj)
+        D[cj, :] = np.inf
+        D[:, cj] = np.inf
+        members[ci].extend(members.pop(cj))
+        active.remove(cj)
+    out = []
+    for c in active:
+        canon = min(ids[i] for i in members[c])
+        for i in members[c]:
+            out.append((ids[i], canon))
+    return spark.createDataFrame(out, schema)
+
+
 def tsne_sample(
     df: DataFrame,
     id_col: str,

@@ -74,3 +74,30 @@ def test_quantize_embeddings_roundtrip(spark, sf_dir):
     stats = quantization_error_stats(emb, "vec_id", "embedding").toPandas()
     assert (stats["max_abs_err"] <= stats["scale_r"] / 2 + 1e-9).all()
     assert (stats["mse"] >= 0).all() and len(stats) == 50
+
+
+def test_agglomerative_sample_hand_cases(spark):
+    """Average-linkage merges: line points [0,1,10,11] at k=2 split into
+    the two pairs; canonical label = min member id; id dtype passes
+    through (long in, long out)."""
+    import pandas as pd
+
+    from spark_pit.operators.analysis import agglomerative_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2, 3, 4], "embedding": [[0.0], [1.0], [10.0], [11.0]]})
+    )
+    out = agglomerative_sample(df, "vec_id", "embedding", k=2).toPandas()
+    lab = dict(zip(out["vec_id"], out["cluster"]))
+    assert lab == {1: 1, 2: 1, 3: 3, 4: 3}
+    assert out["cluster"].dtype.kind == "i"
+
+
+def test_agglomerative_recovers_blobs(spark):
+    from spark_pit.datagen import blobs_table
+    from spark_pit.operators.analysis import agglomerative_sample
+
+    emb = blobs_table(spark, n_blobs=3, per_blob=20)
+    out = agglomerative_sample(emb, "vec_id", "embedding", k=3).toPandas()
+    got = out.groupby("cluster")["vec_id"].apply(lambda s: sorted(s)).to_dict()
+    assert got == {0: list(range(20)), 20: list(range(20, 40)), 40: list(range(40, 60))}
