@@ -446,8 +446,16 @@ def connected_components(
     graph diameter, ≤ max_iter for ε-graphs. At extreme scale swap for the
     large-star/small-star variant; min-label keeps the per-step cost at one
     join + one groupBy shuffle which is right for bounded-diameter graphs.
+
+    The undirected edge list is localCheckpointed ONCE at entry: callers
+    like dedup_clusters feed an edge plan that is itself a multi-stage
+    pipeline (MinHash signatures → band join → Jaccard verify), and
+    without the checkpoint every iteration's join AND the convergence
+    count re-plan that whole upstream lineage (stage-skipping via shuffle
+    reuse helps but still re-walks the plan and keeps the lineage growing
+    with the loop).
     """
-    und = _undirected(edges, entity)
+    und = _undirected(edges, entity).localCheckpoint()
     lab = und.select(entity, "n").distinct().withColumn("c", F.col("n"))
     for _ in range(max_iter):
         nb = (
