@@ -188,3 +188,83 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(dup_frac(3), 6).alias("dup_trigram_frac"),
         F.round(top_tok_share, 6).alias("top_token_share"),
     )
+
+
+def chunk_stats(
+    df: DataFrame, id_col: str, text_col: str, max_tokens: int = 64
+) -> DataFrame:
+    """Context-window CHUNKING — the step between cleaning and tokenized
+    training shards: each document is cut at deterministic token
+    boundaries into chunks of at most ``max_tokens`` whitespace tokens
+    (chunk = token position // max_tokens, 0-based — reproducible across
+    runs, partitionings, and engines, unlike byte-offset splitters).
+
+    Plan: posexplode of the token array (narrow) → one partial-agg
+    groupBy(doc, chunk). At 10⁹ docs the explode is pipelined into the
+    scan and the shuffle carries only (id, chunk) counts + boundary
+    tokens; no global state, no skew beyond document length itself.
+    Returns (id, chunk_id, chunk_tokens, first_token, last_token)."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    return (
+        ex.withColumn("chunk_id", (F.col("pos") / max_tokens).cast("int"))
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("chunk_tokens"),
+            F.min_by("tok", "pos").alias("first_token"),
+            F.max_by("tok", "pos").alias("last_token"),
+        )
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    n_shards: int = 8,
+    salt: str = "p1",
+) -> DataFrame:
+    """Sequence PACKING — assigning whole documents to fixed-token-budget
+    training bins. Deterministic contiguous packing: documents are
+    sharded by the portable md5-fold (same convention as
+    deterministic_sample — engine/partitioning/run-invariant), ordered by
+    id within shard, and bin = floor(tokens-before-this-doc / budget).
+    A doc straddling a boundary belongs to the bin where it starts (bins
+    can overrun by < one doc; cap doc length upstream with chunk_stats).
+    First-fit-decreasing would pack ~tighter but is inherently
+    order-dependent global state — not reproducible, not distributable;
+    contiguous-by-shard is what large pipelines actually run.
+
+    Scale shape: the only wide operation is a window cumsum PARTITIONED
+    BY shard — n_shards parallel streams, no single-partition global
+    window (the naive global ORDER BY id cumsum is the scale antipattern
+    this operator deliberately avoids). Returns
+    (id, n_tokens, shard, bin_id, bin_offset)."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+            16, 10,
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.floor(cum / budget).cast("long").alias("bin_id"),
+        (cum % budget).cast("long").alias("bin_offset"),
+    )

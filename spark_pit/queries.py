@@ -3340,6 +3340,62 @@ def q_phash_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking over the documents table (training-shard
+    prep): deterministic token-boundary chunks of ≤32 tokens."""
+    from spark_pit.operators.textstats import chunk_stats
+
+    return chunk_stats(_docs(spark, sf_dir), "doc_id", "text", max_tokens=32)
+
+
+Q_CHUNK_STATS_SQL = """
+WITH ex AS (
+  -- parallel unnest zips positions with tokens (WITH ORDINALITY is not
+  -- available in this DuckDB build; same pattern as the centroid oracle)
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1
+              AS INT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+)
+SELECT doc_id, CAST(pos // 32 AS INT) AS chunk_id, count(*) AS chunk_tokens,
+       min_by(tok, pos) AS first_token, max_by(tok, pos) AS last_token
+FROM ex GROUP BY doc_id, pos // 32
+"""
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the documents table: sharded contiguous
+    fixed-budget bin assignment (budget 256 tokens, 8 md5-fold shards)."""
+    from spark_pit.operators.textstats import pack_documents
+
+    return pack_documents(
+        _docs(spark, sf_dir), "doc_id", "text", budget=256, n_shards=8
+    )
+
+
+Q_PACK_DOCUMENTS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'p1')),
+                                       1, 15)) AS BIGINT) % 8 AS INT) AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(cum // 256 AS BIGINT) AS bin_id,
+       CAST(cum % 256 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
 # --- pinned oracle values for the round-3 twins. Regenerate ONLY on an
 # intentional semantic change (run the query, paste the frame — README
 # Running); every input is fixture/datagen-deterministic, so the pins are
@@ -3481,8 +3537,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # verified) to make room for the new agglomerative operator's row
     "ksc_triad": q_ksc_triad,
     # --- 51+: r02-green overflow (driver rows exist in CORRECTNESS_r02;
-    # still verified locally by the driver-faithful tools/check_oracle.py)
+    # still verified locally by the driver-faithful tools/check_oracle.py),
+    # plus the round-3 training-shard ops (chunking/packing — new, so
+    # check_oracle-verified until the next window rotation)
     "ctriad_minmax": q_ctriad_minmax,
+    "chunk_stats": q_chunk_stats,
+    "pack_documents": q_pack_documents,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "backfill": q_backfill,
@@ -3587,6 +3647,8 @@ ORACLES: dict[str, str] = {
     "grouped_window_composition": Q_GROUPED_WINDOW_COMPOSITION_SQL,
     "grouped_kspaced_pairs": Q_GROUPED_KSPACED_PAIRS_SQL,
     "ball_composition": Q_BALL_COMPOSITION_SQL,
+    "chunk_stats": Q_CHUNK_STATS_SQL,
+    "pack_documents": Q_PACK_DOCUMENTS_SQL,
     "kmeans_fixture": Q_KMEANS_FIXTURE_SQL,
     "gmm_fixture": Q_GMM_FIXTURE_SQL,
     "bisecting_fixture": Q_BISECTING_FIXTURE_SQL,

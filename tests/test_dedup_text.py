@@ -194,3 +194,46 @@ def test_repetition_stats_planted(spark):
     assert out[1]["top_token_share"] == 0.5
     assert out[2]["dup_bigram_frac"] == 0.0 and out[2]["top_token_share"] < 0.2
     assert out[3]["dup_bigram_frac"] == 0.0 and out[3]["top_token_share"] == 1.0
+
+
+def test_chunk_stats_boundaries(spark):
+    """Chunks cut at exact token boundaries: sizes <= max_tokens, sizes sum
+    to the doc's token count, first/last tokens match the split."""
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "text": [" ".join(f"t{i}" for i in range(10)), "one two"],
+    }))
+    from spark_pit.operators.textstats import chunk_stats
+
+    out = chunk_stats(df, "doc_id", "text", max_tokens=4).toPandas()
+    a = out[out["doc_id"] == "a"].sort_values("chunk_id")
+    assert list(a["chunk_tokens"]) == [4, 4, 2]
+    assert list(a["first_token"]) == ["t0", "t4", "t8"]
+    assert list(a["last_token"]) == ["t3", "t7", "t9"]
+    b = out[out["doc_id"] == "b"]
+    assert list(b["chunk_tokens"]) == [2]
+
+
+def test_pack_documents_invariants(spark):
+    """Packing: bin_offset < budget always (a doc STARTS inside its bin);
+    within a shard, (bin_id, bin_offset) is the running token prefix sum;
+    sharding is the portable md5 fold (re-derivable in pure Python)."""
+    import hashlib
+
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i:03d}" for i in range(40)],
+        "text": [" ".join("w" for _ in range(5 + 7 * (i % 9))) for i in range(40)],
+    })
+    df = spark.createDataFrame(docs)
+    from spark_pit.operators.textstats import pack_documents
+
+    out = pack_documents(df, "doc_id", "text", budget=32, n_shards=4).toPandas()
+    assert (out["bin_offset"] < 32).all()
+    for _, g in out.sort_values("doc_id").groupby("shard"):
+        cum = 0
+        for r in g.itertuples():
+            assert r.bin_id == cum // 32 and r.bin_offset == cum % 32
+            cum += r.n_tokens
+    for r in out.itertuples():
+        h = int(hashlib.md5((r.doc_id + "p1").encode()).hexdigest()[:15], 16) % 4
+        assert r.shard == h
