@@ -68,7 +68,17 @@ def zip_index_join(
     right_order: str,
 ) -> DataFrame:
     """Positional join: i-th row of left (by left_order) gets the i-th row
-    of right (by right_order). Inner on the shared rank."""
+    of right (by right_order). Inner on the shared rank.
+
+    The global row_number is semantically REQUIRED (the reference's
+    add_samples_label zips a sequence file with a label file by line
+    position — a total order, feature.py:64-77) and is the one deliberate
+    global window in the repo: its use case is label metadata, far below
+    data scale. If both sides ever were 100 TB-shaped, the same contract
+    is implementable shuffle-free as a two-pass per-partition offset
+    prefix sum (count rows per partition, broadcast cumulative offsets,
+    add partition-local positions) — kept out because the window form is
+    bit-exact against the SQL oracle and the small-side case is real."""
     lw = Window.orderBy(left_order)
     rw = Window.orderBy(right_order)
     lr = left.withColumn("__rank", F.row_number().over(lw))
