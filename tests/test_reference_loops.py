@@ -1,0 +1,144 @@
+"""Literal reference-loop parity: the engine's descriptor outputs compared
+against direct Python transliterations of the reference's own per-sequence
+loops (the north-rule's allclose-vs-reference criterion, applied beyond the
+families already covered in tests/test_kernels and tests/test_pairs_r2).
+
+The property table stands in for the reference's Schneider-Wrede/Grantham
+data files (absent from the reference repo — SURVEY.md meta-fact 2); the
+LOOP uses the same table, so the comparison still certifies the engine's
+aggregation structure against the reference's formula exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F  # noqa: F401 (parity with sibling tests)
+
+SEQS = {
+    1: "click view click purchase view error click view click view",
+    2: "error error click view purchase signup click view",
+    3: "view purchase click click view",
+}
+PROP = {"click": 0.3, "view": -0.2, "purchase": 1.1, "signup": 0.7, "error": -0.9}
+VOCAB = list(PROP)
+
+
+def _seq_df(spark):
+    rows = []
+    for ent, s in SEQS.items():
+        for i, tok in enumerate(s.split()):
+            rows.append((ent, i, i, tok))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    )
+
+
+def test_asdc_matches_reference_double_loop(spark):
+    """_ASDC (feature.py:2539-2570): count of EVERY ordered pair (j, k>j,
+    any distance) over the full sequence, normalized by the total pair
+    count — brute O(L²) double loop vs the engine's suffix-count kernel."""
+    from spark_pit.operators.pairs import all_pair_counts_kernel
+
+    out = all_pair_counts_kernel(
+        _seq_df(spark), "user_id", "ts", "event_type", vocab=VOCAB
+    ).toPandas()
+    for ent, s in SEQS.items():
+        toks = s.split()
+        cnt: dict[tuple, int] = {}
+        total = 0
+        for j in range(len(toks)):
+            for k in range(j + 1, len(toks)):
+                cnt[(toks[j], toks[k])] = cnt.get((toks[j], toks[k]), 0) + 1
+                total += 1
+        sub = out[out["user_id"] == ent]
+        got = {(r.tok_a, r.tok_b): r.asdc_freq for r in sub.itertuples()}
+        # engine emits the sparse support; every present pair must match,
+        # frequencies must sum to 1 (the reference's dense zeros add nothing)
+        assert set(got) == set(cnt)
+        for pair, c in cnt.items():
+            assert got[pair] == pytest.approx(c / total, abs=1e-9)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_soc_number_matches_reference_loop(spark):
+    """_SOCNumber (feature.py:2183-2189): tau_n / (L - n) with
+    d(a,b)² = (p(a) − p(b))² — brute loop per lag vs the engine's
+    one-window-pass stack unpivot."""
+    from spark_pit.operators.seqorder import soc_number
+
+    nlag = 3
+    out = soc_number(
+        _seq_df(spark), "user_id", "ts", "event_type", PROP, nlag=nlag,
+        tiebreak="event_id",
+    ).toPandas()
+    for ent, s in SEQS.items():
+        toks = s.split()
+        for n in range(1, nlag + 1):
+            if len(toks) <= n:
+                continue
+            want = sum(
+                (PROP[toks[j]] - PROP[toks[j + n]]) ** 2
+                for j in range(len(toks) - n)
+            ) / (len(toks) - n)
+            got = out[(out["user_id"] == ent) & (out["lag"] == n)]["soc"].iloc[0]
+            assert got == pytest.approx(want, abs=1e-9), (ent, n)
+
+
+def test_qso_order_matches_reference_loop(spark):
+    """_QSOrder (feature.py:2237-2262): comp_t = count_t / (1 + w·Στ) and
+    soq_n = w·τ_n / (1 + w·Στ) with τ_n the RAW squared-difference sum
+    (no /(L-n) — the SOCNumber/QSOrder asymmetry the reference carries)."""
+    from spark_pit.operators.seqorder import qso_order
+
+    nlag, w = 2, 0.1
+    out = qso_order(
+        _seq_df(spark), "user_id", "ts", "event_type", PROP, VOCAB,
+        nlag=nlag, weight=w,
+    ).toPandas()
+    for ent, s in SEQS.items():
+        toks = s.split()
+        taus = [
+            sum(
+                (PROP[toks[j]] - PROP[toks[j + n]]) ** 2
+                for j in range(len(toks) - n)
+            )
+            for n in range(1, nlag + 1)
+            if len(toks) > n
+        ]
+        denom = 1.0 + w * sum(taus)
+        sub = out[out["user_id"] == ent]
+        vals = dict(zip(sub["feature"], sub["val"]))
+        for tok in set(toks):
+            assert vals[f"comp_{tok}"] == pytest.approx(
+                toks.count(tok) / denom, abs=1e-9
+            ), (ent, tok)
+        for n, tau in enumerate(taus, start=1):
+            assert vals[f"tau_{n}"] == pytest.approx(w * tau / denom, abs=1e-9)
+
+
+def test_dde_matches_documented_formula(spark):
+    """dde (engine analogue of feature.py:557-596): adjacent-bigram
+    frequency recentred by TM_ab = f(a)·f(b) from the ENTITY's own
+    marginals (the documented re-targeting of the reference's fixed codon
+    table) and scaled by sqrt(TM(1-TM)/N_pairs) — loop transliteration of
+    the reference's formula with the marginal substitution."""
+    import math
+
+    from spark_pit.operators.pairs import dde
+
+    out = dde(_seq_df(spark), "user_id", "ts", "event_type",
+              tiebreak="event_id").toPandas()
+    for ent, s in SEQS.items():
+        toks = s.split()
+        n_pairs = len(toks) - 1
+        bi: dict[tuple, int] = {}
+        for j in range(n_pairs):
+            bi[(toks[j], toks[j + 1])] = bi.get((toks[j], toks[j + 1]), 0) + 1
+        sub = out[out["user_id"] == ent]
+        got = {(r.tok_a, r.tok_b): r.dde for r in sub.itertuples()}
+        assert set(got) == set(bi)
+        for (a, b), c in bi.items():
+            tm = (toks.count(a) / len(toks)) * (toks.count(b) / len(toks))
+            want = (c / n_pairs - tm) / math.sqrt(tm * (1 - tm) / n_pairs)
+            assert got[(a, b)] == pytest.approx(want, abs=1e-9), (ent, a, b)
