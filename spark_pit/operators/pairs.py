@@ -272,20 +272,25 @@ def stride_pair_freq(
     stride: int = 2,
     tiebreak: str | None = None,
 ) -> DataFrame:
-    """PseKRAAC gapModel analogue (feature.py:2722-2770): sample the event
-    series at positions 0, stride, 2*stride, ... (``range(0, L, g+1)``),
-    then count adjacent pairs of the *sampled* series (k-tuple k=2, raw
-    counts as the reference emits). Plan: row_number → modulo filter →
-    lead over the filtered window → count."""
+    """PseKRAAC gapModel, ktuple=2 (feature.py:2739-2751): anchors at
+    positions ``range(0, L, stride)`` (stride = gap+1), each paired with
+    its IMMEDIATE successor in the ORIGINAL series — ``(s_j, s_{j+1})``
+    for j % stride == 0, j+1 < L — raw counts as the reference emits.
+    (Round-3 fidelity fix: the previous form paired each anchor with the
+    NEXT SAMPLED token ``s_{j+stride}``, which matches the reference only
+    at stride 1 — same deviation class the round-2 advice caught in
+    ksctriad.) Plan: ONE window pass (row_number + lead share the sort) →
+    modulo filter → count."""
     w = entity_window(entity, ts, tiebreak)
-    pos = F.row_number().over(w) - 1
-    sampled = df.withColumn("__pos", pos).where(F.col("__pos") % stride == 0)
-    w2 = entity_window(entity, "__pos", None)
-    pairs_df = sampled.select(
-        entity,
-        F.col(token_col).alias("tok_a"),
-        F.lead(token_col, 1).over(w2).alias("tok_b"),
-    ).where(F.col("tok_b").isNotNull())
+    pairs_df = (
+        df.select(
+            F.col(entity),
+            (F.row_number().over(w) - 1).alias("__pos"),
+            F.col(token_col).alias("tok_a"),
+            F.lead(token_col, 1).over(w).alias("tok_b"),
+        )
+        .where((F.col("__pos") % stride == 0) & F.col("tok_b").isNotNull())
+    )
     return pairs_df.groupBy(entity, "tok_a", "tok_b").agg(
         F.count(F.lit(1)).alias("pair_n")
     )

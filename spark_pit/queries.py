@@ -543,19 +543,19 @@ def q_stride_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_STRIDE_PAIRS_SQL = """
-WITH pos AS (
-  SELECT user_id, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p
+WITH pr AS (
+  -- gapModel ktuple=2 (feature.py:2739-2751): anchor every stride-th
+  -- position, partner = the IMMEDIATE successor in the original series
+  SELECT user_id,
+         row_number() OVER w - 1 AS p,
+         event_type AS tok_a,
+         lead(event_type) OVER w AS tok_b
   FROM events
-),
-samp AS (SELECT * FROM pos WHERE p % 2 = 0),
-pr AS (
-  SELECT user_id, event_type AS tok_a,
-         lead(event_type) OVER (PARTITION BY user_id ORDER BY p) AS tok_b
-  FROM samp
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, tok_a, tok_b, count(*) AS pair_n
-FROM pr WHERE tok_b IS NOT NULL GROUP BY user_id, tok_a, tok_b
+FROM pr WHERE p % 2 = 0 AND tok_b IS NOT NULL
+GROUP BY user_id, tok_a, tok_b
 """
 
 

@@ -142,3 +142,47 @@ def test_dde_matches_documented_formula(spark):
             tm = (toks.count(a) / len(toks)) * (toks.count(b) / len(toks))
             want = (c / n_pairs - tm) / math.sqrt(tm * (1 - tm) / n_pairs)
             assert got[(a, b)] == pytest.approx(want, abs=1e-9), (ent, a, b)
+
+
+def test_psekraac_gap_model_matches_reference_loop(spark):
+    """gapModel ktuple=2 (feature.py:2739-2751): for j in range(0, L, g+1)
+    with j+1 < L, count the pair (s_j, s_{j+1}) — anchor + IMMEDIATE
+    successor, not the next sampled token (the round-3 fidelity fix)."""
+    from spark_pit.operators.pairs import stride_pair_freq
+
+    stride = 3  # = glValue + 1
+    out = stride_pair_freq(
+        _seq_df(spark), "user_id", "ts", "event_type", stride=stride,
+        tiebreak="event_id",
+    ).toPandas()
+    for ent, s in SEQS.items():
+        toks = s.split()
+        cnt: dict[tuple, int] = {}
+        for j in range(0, len(toks), stride):
+            if j + 1 < len(toks):
+                cnt[(toks[j], toks[j + 1])] = cnt.get((toks[j], toks[j + 1]), 0) + 1
+        sub = out[out["user_id"] == ent]
+        got = {(r.tok_a, r.tok_b): r.pair_n for r in sub.itertuples()}
+        assert got == cnt, ent
+
+
+def test_psekraac_lambda_model_matches_reference_loop(spark):
+    """lambdaModel ktuple=3 (feature.py:2803-2819): for every j with
+    j+2λ < L, count the tuple (s_j, s_{j+λ}, s_{j+2λ})."""
+    from spark_pit.operators.pairs import lambda_tuple_freq
+
+    lam = 2
+    out = lambda_tuple_freq(
+        _seq_df(spark), "user_id", "ts", "event_type", lam=lam,
+        tiebreak="event_id",
+    ).toPandas()
+    for ent, s in SEQS.items():
+        toks = s.split()
+        cnt: dict[tuple, int] = {}
+        for j in range(len(toks)):
+            if j + 2 * lam < len(toks):
+                key = (toks[j], toks[j + lam], toks[j + 2 * lam])
+                cnt[key] = cnt.get(key, 0) + 1
+        sub = out[out["user_id"] == ent]
+        got = {(r.tok_a, r.tok_b, r.tok_c): r.tuple_n for r in sub.itertuples()}
+        assert got == cnt, ent
