@@ -186,3 +186,32 @@ def test_psekraac_lambda_model_matches_reference_loop(spark):
         sub = out[out["user_id"] == ent]
         got = {(r.tok_a, r.tok_b, r.tok_c): r.tuple_n for r in sub.itertuples()}
         assert got == cnt, ent
+
+
+def test_ctdt_transitions_match_reference_loop(spark):
+    """_CTDT (feature.py:1935-1948): unordered distinct-group adjacent
+    transitions normalized by len(aaPair) = L−1 (ALL adjacent pairs,
+    including same-group ones, stay in the denominator)."""
+    from spark_pit.operators.pairs import GROUP_MAP_DEFAULT, transition_freq
+
+    gdf = _seq_df(spark).withColumn(
+        "grp",
+        F.create_map(*[
+            F.lit(x) for kv in GROUP_MAP_DEFAULT.items() for x in kv
+        ])[F.col("event_type")],
+    )
+    out = transition_freq(gdf, "user_id", "ts", "grp",
+                          tiebreak="event_id").toPandas()
+    for ent, s in SEQS.items():
+        toks = [GROUP_MAP_DEFAULT[t] for t in s.split()]
+        n_adj = len(toks) - 1
+        cnt: dict[tuple, int] = {}
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                key = (min(a, b), max(a, b))
+                cnt[key] = cnt.get(key, 0) + 1
+        sub = out[out["user_id"] == ent]
+        got = {(r.grp_lo, r.grp_hi): r.trans_freq for r in sub.itertuples()}
+        assert set(got) == set(cnt), ent
+        for key, c in cnt.items():
+            assert got[key] == pytest.approx(c / n_adj, abs=1e-9), (ent, key)
