@@ -144,12 +144,20 @@ def mean_shift_1d(
     land in the same bandwidth-scale decimal bucket form a cluster
     (min node id = label).
 
-    Cross-engine determinism, same discipline as eigenvector_centrality:
-    original coordinates quantize once to DECIMAL(18,6) so every
-    neighborhood mean is an exact decimal sum / count, and each iterate is
-    re-quantized to DECIMAL(18,9) — the unrolled MATERIALIZED-CTE oracle
-    reproduces every step bit-for-bit. Per step: one banded equi-join (the
-    rangejoin trick, never a nested loop) + one partial-agg shuffle."""
+    Cross-engine determinism (round-3 hardening): iterates are quantized
+    to INT64 NANO-UNITS — ``qn = floor(mean·10⁹ + 0.5)`` — built only
+    from IEEE double ops (multiply, add, floor) that are correctly
+    rounded identically in Spark and DuckDB, and exact integer
+    arithmetic. The previous DECIMAL(18,9) requantization relied on
+    double→decimal CASTs, which Spark performs on the double's SHORTEST
+    DECIMAL REPR (BigDecimal.valueOf) while DuckDB rounds the exact
+    binary value — divergent whenever a quotient's shortest repr ends on
+    a rounding boundary (~1e-7 of divisions; 29 hits out of 800k at
+    sf0.1, invisible at the smaller gate scales). Neighborhood sums stay
+    exact DECIMAL(18,6); only sums and counts ever cross the
+    double/decimal line, both correctly rounded. Per step: one banded
+    equi-join (the rangejoin trick, never a nested loop) + one
+    partial-agg shuffle."""
     h = float(bandwidth)
     base = points.select(
         F.col(entity).alias("__e"),
@@ -158,16 +166,19 @@ def mean_shift_1d(
     cur = points.select(
         entity,
         F.col(node_id).alias("node"),
-        F.col(coord).cast("decimal(18,6)").cast("decimal(18,9)").alias("q"),
+        F.floor(
+            F.col(coord).cast("decimal(18,6)").cast("double") * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("qn"),
     ).localCheckpoint(eager=False)
     for _ in range(n_iter):
+        q = (F.col("qn").cast("double") / F.lit(1e9))
         qb = cur.withColumn(
             "__jb",
             F.explode(
                 F.array(
-                    F.floor(F.col("q").cast("double") / h).cast("long") - 1,
-                    F.floor(F.col("q").cast("double") / h).cast("long"),
-                    F.floor(F.col("q").cast("double") / h).cast("long") + 1,
+                    F.floor(q / h).cast("long") - 1,
+                    F.floor(q / h).cast("long"),
+                    F.floor(q / h).cast("long") + 1,
                 )
             ),
         )
@@ -175,25 +186,37 @@ def mean_shift_1d(
             base,
             (F.col(entity) == F.col("__e")) & (F.col("__jb") == F.col("__b2")),
         ).where(
-            F.abs(F.col("x").cast("double") - F.col("q").cast("double")) <= h
+            F.abs(
+                F.col("x").cast("double") - F.col("qn").cast("double") / F.lit(1e9)
+            ) <= h
         )
         cur = (
             near.groupBy(entity, "node")
             .agg(F.sum("x").alias("__s"), F.count(F.lit(1)).alias("__c"))
             .select(
                 entity, "node",
-                (F.col("__s").cast("double") / F.col("__c"))
-                .cast("decimal(18,9)").alias("q"),
+                F.floor(
+                    F.col("__s").cast("double") / F.col("__c") * F.lit(1e9) + F.lit(0.5)
+                ).cast("long").alias("qn"),
             )
             .localCheckpoint(eager=False)
         )
-    labeled = cur.withColumn("__mb", F.col("q").cast("decimal(18,3)"))
+    # cluster bucket = nano units rounded half-up to MILLI units; mode =
+    # nano rounded half-up to MICRO units — pure integer arithmetic, the
+    # final /1e6 is one correctly-rounded IEEE divide of an exact integer
+    labeled = cur.withColumn(
+        "__mb",
+        F.floor((F.col("qn") + F.lit(500_000)) / F.lit(1_000_000.0)).cast("long"),
+    )
     lab = labeled.groupBy(entity, "__mb").agg(F.min("node").alias("cluster"))
     return (
         labeled.join(lab, [entity, "__mb"])
         .select(
             entity, "node",
-            F.round(F.col("q").cast("double"), 6).alias("mode"),
+            (
+                F.floor((F.col("qn") + F.lit(500)) / F.lit(1_000.0)).cast("double")
+                / F.lit(1e6)
+            ).alias("mode"),
             "cluster",
         )
     )

@@ -2839,31 +2839,41 @@ def q_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mean_shift_sql(n_iter: int = 8, h: float = 20.0) -> str:
+    # int64 nano-unit quantization mirrors the engine exactly: only IEEE
+    # double multiply/add/floor (correctly rounded identically in both
+    # engines) + exact integers — no double->decimal CASTs anywhere (the
+    # shortest-repr vs exact-binary rounding divergence, operator docstring)
     parts = [f"""
 WITH base AS MATERIALIZED (
   SELECT user_id AS e, CAST(value AS DECIMAL(18,6)) AS x FROM events
 ),
 q0 AS MATERIALIZED (
   SELECT user_id, event_id AS node,
-         CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(18,9)) AS q
+         CAST(floor(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) * 1e9 + 0.5)
+              AS BIGINT) AS qn
   FROM events
 )"""]
     for k in range(1, n_iter + 1):
         parts.append(f""",
 q{k} AS MATERIALIZED (
   SELECT c.user_id, c.node,
-         CAST(CAST(sum(b.x) AS DOUBLE) / count(*) AS DECIMAL(18,9)) AS q
+         CAST(floor(CAST(sum(b.x) AS DOUBLE) / count(*) * 1e9 + 0.5)
+              AS BIGINT) AS qn
   FROM q{k - 1} c JOIN base b
     ON b.e = c.user_id
-   AND abs(CAST(b.x AS DOUBLE) - CAST(c.q AS DOUBLE)) <= {h}
+   AND abs(CAST(b.x AS DOUBLE) - CAST(c.qn AS DOUBLE) / 1e9) <= {h}
   GROUP BY c.user_id, c.node
 )""")
     parts.append(f""",
 labeled AS (
-  SELECT user_id, node, q, CAST(q AS DECIMAL(18,3)) AS mb FROM q{n_iter}
+  SELECT user_id, node, qn,
+         CAST(floor((qn + 500000) / 1000000.0) AS BIGINT) AS mb
+  FROM q{n_iter}
 ),
 lab AS (SELECT user_id, mb, min(node) AS cluster FROM labeled GROUP BY user_id, mb)
-SELECT l.user_id, l.node, round(CAST(l.q AS DOUBLE), 6) AS mode, lab.cluster
+SELECT l.user_id, l.node,
+       CAST(floor((l.qn + 500) / 1000.0) AS DOUBLE) / 1e6 AS mode,
+       lab.cluster
 FROM labeled l JOIN lab ON l.user_id = lab.user_id AND l.mb = lab.mb""")
     return "".join(parts)
 
