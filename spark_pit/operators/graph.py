@@ -170,7 +170,8 @@ def eigenvector_centrality(
 
 
 def shortest_paths(
-    edges: DataFrame, entity: str, max_hops: int = 30
+    edges: DataFrame, entity: str, max_hops: int = 30,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs hop distances per entity graph (the prerequisite for the
     reference's nx.diameter / nx.average_shortest_path_length /
@@ -182,9 +183,19 @@ def shortest_paths(
     one join + one anti-join (dedupe against settled pairs), lineage
     truncated per hop; the loop exits when a frontier is empty (true BFS
     distances, no cap on correctness — max_hops only bounds the worst case).
+
+    ``sources``: optional (entity, src) frame restricting the BFS to those
+    seed sources only — state drops to O(s·V) per entity for s seeds (the
+    Brandes–Pich sampling path in betweenness_centrality; round-4 advice:
+    sampling must shrink the FORWARD stage, not just the σ/δ sweeps).
     """
     und = _undirected(edges, entity)
     nodes = und.select(entity, "n").distinct()
+    if sources is not None:
+        # intersect with real nodes so a stray seed can't invent a vertex
+        nodes = nodes.join(
+            sources.select(entity, F.col("src").alias("n")), [entity, "n"]
+        )
     settled = nodes.select(
         entity, F.col("n").alias("src"), F.col("n").alias("node"),
         F.lit(0).alias("dist"),
@@ -342,11 +353,14 @@ def betweenness_centrality(
     from pyspark.sql import Window
 
     und = _undirected(edges, entity)
-    sp = shortest_paths(edges, entity, max_hops)
     n_src = None
     if sample_sources is not None:
+        # sample from the NODE LIST first, then seed the BFS at only the
+        # sampled sources — the forward stage itself is O(s·V), not a
+        # post-filter over an already-materialized all-pairs BFS
+        # (round-4 advice, graph.py:362)
         srcs = (
-            sp.select(entity, "src").distinct()
+            und.select(entity, F.col("n").alias("src")).distinct()
             .withColumn(
                 "__r",
                 F.row_number().over(
@@ -359,8 +373,10 @@ def betweenness_centrality(
             .select(entity, "src")
             .localCheckpoint()
         )
-        sp = sp.join(srcs, [entity, "src"])
+        sp = shortest_paths(edges, entity, max_hops, sources=srcs)
         n_src = srcs.groupBy(entity).agg(F.count(F.lit(1)).alias("__s"))
+    else:
+        sp = shortest_paths(edges, entity, max_hops)
     d_max = sp.agg(F.max("dist")).first()[0] or 0
     # ---- forward sweep: path counts σ per (src, node), level by level
     sigma = sp.where(F.col("dist") == 0).select(

@@ -79,7 +79,9 @@ def shell_composition(
     counts = shelled.groupBy("probe_id", entity, "shell", token_col).agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = F.sum("n").over(Window.partitionBy("probe_id", "shell"))
+    # entity in the partition: probe ids need only be unique per entity
+    # (round-4 advice, rangejoin.py:196)
+    tot = F.sum("n").over(Window.partitionBy(entity, "probe_id", "shell"))
     return counts.withColumn("freq", F.col("n") / tot)
 
 
@@ -110,7 +112,9 @@ def ball_composition(
         .agg(F.sum("n").alias("n"))
         .withColumnRenamed("ball", "shell")
     )
-    tot = F.sum("n").over(Window.partitionBy("probe_id", "shell"))
+    # entity in the partition: probe ids need only be unique per entity
+    # (round-4 advice, rangejoin.py:196)
+    tot = F.sum("n").over(Window.partitionBy(entity, "probe_id", "shell"))
     return cum.withColumn("freq", F.col("n") / tot)
 
 
@@ -193,7 +197,9 @@ def shell_composition_3d(
     counts = joined.groupBy("probe_id", entity, "shell", token_col).agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = F.sum("n").over(Window.partitionBy("probe_id", "shell"))
+    # entity in the partition: probe ids need only be unique per entity
+    # (round-4 advice, rangejoin.py:196)
+    tot = F.sum("n").over(Window.partitionBy(entity, "probe_id", "shell"))
     return counts.withColumn("freq", F.col("n") / tot)
 
 
@@ -257,4 +263,106 @@ def half_exposure(
         base.join(counted, [entity, "n"], "left")
         .na.fill({"hse_up": 0, "hse_down": 0})
         .select(entity, F.col("n").alias("node"), "hse_up", "hse_down")
+    )
+
+
+def half_exposure_3d(
+    points: DataFrame,
+    entity: str,
+    node_id: str,
+    coords: tuple[str, str, str],
+    order_col: str,
+    radius: float,
+) -> DataFrame:
+    """TRUE 3-D half-sphere exposure (reference get_HSE_CA,
+    feature.py:4242-4250, Bio.PDB HSExposureCA semantics): per node i the
+    orientation vector is the pseudo-CB direction derived from its chain
+    neighbors, u_i = 2·p_i − p_prev − p_next (the vector pointing away
+    from the local backbone bend; chain order = the entity timeline order
+    here, ties broken on node id), and the neighbors within ``radius``
+    split into the upper half-sphere (dot(q − p, u) > 0 ⇔ angle < 90°)
+    vs the lower (dot ≤ 0, Biopython's angle ≥ 90° branch). Nodes
+    missing either chain neighbor are skipped exactly like Biopython
+    (HSExposureCA needs three consecutive CA positions).
+
+    Spark shape: two lag/lead window functions for u (one entity-partition
+    sort), then the SAME 27-neighbor-cell composite-band hash equi-join as
+    shell_composition_3d (cell size = radius, 3³ fixed probe copies) with
+    the squared-distance predicate — never a nested loop, one Exchange on
+    (entity, cell). All classification arithmetic is fixed-order IEEE
+    double (subtract/multiply/add), so an O(N²) SQL oracle reproduces the
+    counts bit-exactly.
+
+    Returns (entity, node, hse_up, hse_down, u_norm) — u_norm mirrors the
+    reference's third HSE output column (feature.py:4247 value3).
+    """
+    cx, cy, cz = coords
+    w = Window.partitionBy(entity).orderBy(order_col, node_id)
+    oriented = points.select(
+        F.col(entity).alias("__qe"),
+        F.col(node_id).alias("node"),
+        F.col(cx).alias("__qx"), F.col(cy).alias("__qy"), F.col(cz).alias("__qz"),
+        (2 * F.col(cx) - F.lag(cx).over(w) - F.lead(cx).over(w)).alias("__ux"),
+        (2 * F.col(cy) - F.lag(cy).over(w) - F.lead(cy).over(w)).alias("__uy"),
+        (2 * F.col(cz) - F.lag(cz).over(w) - F.lead(cz).over(w)).alias("__uz"),
+    ).where(F.col("__ux").isNotNull())
+    cell = float(radius)
+    spark = points.sparkSession
+    offsets = spark.createDataFrame(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        "dx long, dy long, dz long",
+    )
+    prb = oriented.crossJoin(F.broadcast(offsets)).select(
+        "__qe", "node", "__qx", "__qy", "__qz", "__ux", "__uy", "__uz",
+        (F.floor(F.col("__qx") / cell).cast("long") + F.col("dx")).alias("__cx"),
+        (F.floor(F.col("__qy") / cell).cast("long") + F.col("dy")).alias("__cy"),
+        (F.floor(F.col("__qz") / cell).cast("long") + F.col("dz")).alias("__cz"),
+    )
+    pts = points.select(
+        F.col(entity).alias("__pe"),
+        F.col(node_id).alias("m"),
+        F.col(cx).alias("__px"), F.col(cy).alias("__py"), F.col(cz).alias("__pz"),
+        F.floor(F.col(cx) / cell).cast("long").alias("__cx"),
+        F.floor(F.col(cy) / cell).cast("long").alias("__cy"),
+        F.floor(F.col(cz) / cell).cast("long").alias("__cz"),
+    )
+    d2 = (
+        (F.col("__px") - F.col("__qx")) * (F.col("__px") - F.col("__qx"))
+        + (F.col("__py") - F.col("__qy")) * (F.col("__py") - F.col("__qy"))
+        + (F.col("__pz") - F.col("__qz")) * (F.col("__pz") - F.col("__qz"))
+    )
+    dot = (
+        (F.col("__px") - F.col("__qx")) * F.col("__ux")
+        + (F.col("__py") - F.col("__qy")) * F.col("__uy")
+        + (F.col("__pz") - F.col("__qz")) * F.col("__uz")
+    )
+    near = (
+        prb.join(
+            pts,
+            (F.col("__qe") == F.col("__pe"))
+            & (prb["__cx"] == pts["__cx"])
+            & (prb["__cy"] == pts["__cy"])
+            & (prb["__cz"] == pts["__cz"]),
+        )
+        .where(F.col("node") != F.col("m"))
+        .withColumn("__d2", d2)
+        .where(F.col("__d2") <= F.lit(radius * radius))
+        .withColumn("__dot", dot)
+    )
+    counted = near.groupBy(F.col("__qe").alias(entity), "node").agg(
+        F.sum(F.when(F.col("__dot") > 0, 1).otherwise(0)).alias("hse_up"),
+        F.sum(F.when(F.col("__dot") <= 0, 1).otherwise(0)).alias("hse_down"),
+    )
+    u_norm = F.round(
+        F.sqrt(
+            F.col("__ux") * F.col("__ux")
+            + F.col("__uy") * F.col("__uy")
+            + F.col("__uz") * F.col("__uz")
+        ), 6,
+    )
+    return (
+        oriented.select(F.col("__qe").alias(entity), "node", u_norm.alias("u_norm"))
+        .join(counted, [entity, "node"], "left")
+        .na.fill({"hse_up": 0, "hse_down": 0})
+        .select(entity, "node", "hse_up", "hse_down", "u_norm")
     )

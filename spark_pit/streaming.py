@@ -123,8 +123,11 @@ def streaming_asof_features(
                 has = pos >= 0
                 sts = np.full(len(ev), np.nan)
                 sts[has] = snap_ts[pos[has]]
-                sid = pd.array(snap_id[np.maximum(pos, 0)], dtype="Int64")
-                sid[~has] = pd.NA
+                # all-NA init + masked assign: safe when snap_id is empty
+                # (first micro-batch with events but no snapshot and no
+                # carried state — pos[has] is empty then, so no indexing)
+                sid = pd.array([pd.NA] * len(ev), dtype="Int64")
+                sid[has] = snap_id[pos[has]]
                 yield pd.DataFrame(
                     {
                         entity: ev[entity],

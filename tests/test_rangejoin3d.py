@@ -63,3 +63,45 @@ def test_shell_3d_matches_brute_force(spark):
     # freq normalizes within (probe, shell)
     sums = out.groupby(["probe_id", "shell"])["freq"].sum()
     assert np.allclose(sums, 1.0)
+
+
+def test_half_exposure_3d_matches_brute_force(spark):
+    """HSE (pseudo-CB orientation + half-space split) vs a per-node numpy
+    brute force, including diagonal-cell neighbors, chain endpoints
+    (skipped), and multi-entity isolation."""
+    from spark_pit.operators.rangejoin import half_exposure_3d
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for ent in (1, 2):
+        n = 25 if ent == 1 else 12
+        coords = rng.uniform(-6, 6, size=(n, 3))
+        for i, (x, y, z) in enumerate(coords):
+            rows.append((ent, i, float(i), float(x), float(y), float(z)))
+    pdf = pd.DataFrame(rows, columns=["ent", "nid", "ord", "x", "y", "z"])
+    df = spark.createDataFrame(pdf)
+    radius = 4.0
+    out = half_exposure_3d(
+        df, entity="ent", node_id="nid", coords=("x", "y", "z"),
+        order_col="ord", radius=radius,
+    ).toPandas().set_index(["ent", "node"]).sort_index()
+
+    want = {}
+    for ent, sub in pdf.groupby("ent"):
+        sub = sub.sort_values(["ord", "nid"]).reset_index(drop=True)
+        P = sub[["x", "y", "z"]].to_numpy()
+        for i in range(1, len(sub) - 1):
+            u = 2 * P[i] - P[i - 1] - P[i + 1]
+            d = P - P[i]
+            mask = (np.einsum("ij,ij->i", d, d) <= radius * radius)
+            mask[i] = False
+            dots = d[mask] @ u
+            want[(ent, sub.loc[i, "nid"])] = (
+                int((dots > 0).sum()), int((dots <= 0).sum()),
+                round(float(np.sqrt(u @ u)), 6),
+            )
+    assert set(out.index) == set(want)
+    for key, (up, down, un) in want.items():
+        got = out.loc[key]
+        assert got["hse_up"] == up and got["hse_down"] == down, key
+        assert abs(got["u_norm"] - un) < 1e-9

@@ -4,6 +4,7 @@ over a file source with Trigger.AvailableNow, compared against batch."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from spark_pit.catalog import iceberg_available, read_table
@@ -183,3 +184,45 @@ def test_streaming_content_dedup(spark, sf_dir, tmp_path):
     )
     assert len(got) == n_distinct
     assert set(got.columns) == {"doc_id", "text", "ts"}
+
+
+def test_streaming_asof_entity_with_no_snapshots(spark, tmp_path):
+    """Regression (round-4 advice, streaming.py:126): an entity whose first
+    micro-batch contains events but ZERO snapshots (and no carried state)
+    must yield all-NA matches, not IndexError on the empty snapshot array."""
+    from spark_pit.streaming import streaming_asof_features
+
+    src_dir = tmp_path / "src"
+    pdf = pd.DataFrame(
+        {
+            "user_id": ["nosnap", "nosnap", "hassnap", "hassnap"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:01", "2024-01-01 00:02",
+                 "2024-01-01 00:01", "2024-01-01 00:02"]
+            ),
+            "event_id": [1, 2, 3, 4],
+            "is_snap": [False, False, True, False],
+            "snapshot_id": pd.array([pd.NA, pd.NA, 99, pd.NA], dtype="Int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"),
+        "event_id", "is_snap", F.col("snapshot_id").cast("long").alias("snapshot_id"),
+    )
+    df.write.parquet(str(src_dir))
+    raw = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    out = streaming_asof_features(raw, "user_id", "ts")
+    q = (
+        out.writeStream.format("memory").queryName("asofempty")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_asofempty"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from asofempty").toPandas().set_index("event_id")
+    # entity with no snapshot at all: both events unmatched (and no crash)
+    assert pd.isna(got.loc[1, "asof_snapshot_id"])
+    assert pd.isna(got.loc[2, "asof_snapshot_id"])
+    # sibling entity unaffected: event after the snapshot matches it
+    assert got.loc[4, "asof_snapshot_id"] == 99
