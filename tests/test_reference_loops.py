@@ -282,3 +282,47 @@ def test_psekraac_alphabet_gap_model_parity():
             if j + 1 < len(red):
                 cnt2[(red[j], red[j + 1])] = cnt2.get((red[j], red[j + 1]), 0) + 1
         assert cnt == cnt2, (ptype, k)
+
+
+def test_opf_tables_match_reference_literals():
+    """OPF group lists shipped in alphabets.OPF_TABLES equal the reference's
+    physicochemical_properties_list literals (feature.py:2386-2514),
+    extracted from source at test time."""
+    import ast
+    import re
+
+    from spark_pit.alphabets import OPF_TABLES
+
+    src = open("/root/reference/feature.py").read()
+    ref_names = {
+        "_OPF_10bit": "opf10", "_OPF_7bit_type_1": "opf7_t1",
+        "_OPF_7bit_type_2": "opf7_t2", "_OPF_7bit_type_3": "opf7_t3",
+    }
+    for fn, key in ref_names.items():
+        seg = src[src.index(f"def {fn}(") :][:3000]
+        m = re.search(r"physicochemical_properties_list = \[(.*?)\]", seg, re.S)
+        ref = ast.literal_eval("[" + m.group(1) + "]")
+        assert [members for _, members in OPF_TABLES[key]] == ref, fn
+
+
+def test_positional_multihot_matches_reference_loop(spark):
+    """positional_multihot vs the reference's per-char membership loop
+    (feature.py:2410-2416): overlapping groups each set their own bit;
+    chars in no group (the '-' pad) give all zeros."""
+    from spark_pit.alphabets import OPF_TABLES
+    from spark_pit.operators.encode import positional_multihot
+
+    seq = "AHKDE-PWXIV"
+    df = spark.createDataFrame(
+        pd.DataFrame({"pos": range(len(seq)), "ch": list(seq)})
+    )
+    for key in ("opf10", "opf7_t2"):
+        groups = OPF_TABLES[key]
+        out = (
+            positional_multihot(df, "ch", groups)
+            .toPandas().sort_values("pos").reset_index(drop=True)
+        )
+        for i, aa in enumerate(seq):
+            want = [1 if aa in members else 0 for _, members in groups]
+            got = [out.loc[i, f"opf_{name}"] for name, _ in groups]
+            assert got == want, (key, i, aa)
