@@ -4012,8 +4012,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mllib_lsh": q_ann_mllib_lsh,
     "ivf_topk": q_ivf_topk,
     "image_pit": q_image_pit,
-    "image_decode_stats": q_image_decode_stats,
-    "phash_features": q_phash_features,
     "embed_documents": q_embed_documents,
     "pca_embeddings": q_pca_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,

@@ -326,3 +326,24 @@ def test_positional_multihot_matches_reference_loop(spark):
             want = [1 if aa in members else 0 for _, members in groups]
             got = [out.loc[i, f"opf_{name}"] for name, _ in groups]
             assert got == want, (key, i, aa)
+
+
+def test_blosum62_matches_reference_literal():
+    """alphabets.BLOSUM62 equals the reference's blosum62 dict literal
+    (feature.py:1387-1409), extracted from source at test time, and feeds
+    property_channels as a 20-wide one-pass encoding."""
+    import ast
+    import re
+
+    from spark_pit.alphabets import BLOSUM62, property_tables
+
+    src = open("/root/reference/feature.py").read()
+    seg = src[src.index("blosum62 = {") :]
+    seg = seg[: seg.index("}") + 1]
+    seg = re.sub(r"#.*", "", seg)  # strip the row-label comments
+    ref = ast.literal_eval(seg.split("=", 1)[1].strip())
+    assert {k: [float(x) for x in v] for k, v in ref.items()} == {
+        k: [float(x) for x in v] for k, v in BLOSUM62.items()
+    }
+    chans = property_tables(BLOSUM62)
+    assert len(chans) == 20 and chans["z1"]["W"] == -3.0
