@@ -49,6 +49,16 @@ def main() -> None:
     # the recorded number was fixed-overhead amortization, not throughput).
     repl = int(os.environ.get("SPARK_GRAFT_REPL", "64"))
 
+    # SPARK_GRAFT_BUCKETS pins the kernel bucket count. Bucket count is JOB
+    # config, not cluster size: the scaling harness (tools/bench_scaling)
+    # must hold it CONSTANT across its two parallelism levels or the legs
+    # run different jobs (at 2 cores the default cpus-derived count gave
+    # 800k-row pandas buckets whose memory behavior is bimodal — observed
+    # 22.6 s vs 84.3 s identical-input walls; round-4 protocol fix).
+    buckets_env = os.environ.get("SPARK_GRAFT_BUCKETS")
+    n_buckets_flagship = int(buckets_env) if buckets_env else int(cpus) * 8
+    n_buckets_image = int(buckets_env) if buckets_env else int(cpus) * 4
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_events = ev.count() * repl
 
@@ -76,7 +86,7 @@ def main() -> None:
         return pit_features_bucketed(
             ev, snaps, entity="user_id", ts="ts", numeric_col="value",
             token_col="event_type", vocab=EVENT_VOCAB, gap_seconds=1800, width=5,
-            num_buckets=int(cpus) * 8,
+            num_buckets=n_buckets_flagship,
         )
 
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -121,7 +131,7 @@ def main() -> None:
         return image_pit_features(
             _img_amplify(spark.read.parquet(f"{img_dir}/images.parquet")),
             _img_amplify(spark.read.parquet(f"{img_dir}/snapshots.parquet")),
-            num_buckets=int(cpus) * 4,
+            num_buckets=n_buckets_image,
         )
 
     bench_set = {

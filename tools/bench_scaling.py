@@ -28,7 +28,8 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str, repl: int, query: str = "flagship") -> dict:
+def run_level(cpus: int, sf_dir: str, repl: int, query: str = "flagship",
+              buckets: int | None = None, img_dir: str | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -37,6 +38,12 @@ def run_level(cpus: int, sf_dir: str, repl: int, query: str = "flagship") -> dic
         SPARK_GRAFT_IMG_REPL=str(repl),
         SPARK_GRAFT_BENCH_QUERIES=query,
     )
+    if buckets is not None:
+        env["SPARK_GRAFT_BUCKETS"] = str(buckets)
+    if img_dir is not None:
+        # pre-materialized amplified input: scan it, don't regenerate it
+        env["SPARK_GRAFT_IMG_DIR"] = img_dir
+        env["SPARK_GRAFT_IMG_REPL"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -59,8 +66,36 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    lo = run_level(args.low, args.sf_dir, args.repl, args.query)
-    hi = run_level(args.high, args.sf_dir, args.repl, args.query)
+    # constant bucket count across both legs (job config, not cluster
+    # size): sized for the HIGH leg's default so the high leg's plan is
+    # unchanged and the low leg simply runs more, smaller buckets
+    buckets = args.high * (8 if args.query == "flagship" else 4)
+
+    img_dir = None
+    if args.query == "image_flagship":
+        # Materialize the amplified image input ONCE and point both legs at
+        # it (round-4 protocol fix): generating the amplified input inside
+        # the measured job added a ~10 s serial term (single-file scan +
+        # explode) that poisoned low-core legs — an Amdahl fit across the
+        # 1/2/4/8-core walls put the serial fraction near 25% at 4 cores.
+        # The criterion is "the same job at two parallelism levels on the
+        # SAME INPUT", so the input belongs on disk, split into many files,
+        # not regenerated per leg. `bytes` is dropped: the PIT pipeline
+        # never reads it (PLANS.md scan_cols) and a 64x replicated payload
+        # would be ~19 GB of dead weight.
+        img_dir = f"/tmp/spark_pit_scaling_images_repl{args.repl}"
+        if not os.path.exists(f"{img_dir}/images.parquet"):
+            mat = subprocess.run(
+                [sys.executable,
+                 os.path.join(ROOT, "tools", "materialize_scaling_input.py"),
+                 "--repl", str(args.repl), "--out", img_dir],
+                capture_output=True, text=True,
+            )
+            if mat.returncode != 0:
+                sys.stderr.write(mat.stderr[-2000:])
+                raise SystemExit(1)
+    lo = run_level(args.low, args.sf_dir, args.repl, args.query, buckets, img_dir)
+    hi = run_level(args.high, args.sf_dir, args.repl, args.query, buckets, img_dir)
     ratio = args.high / args.low
     def _rows(r):
         return (r["event_rows"] if args.query == "flagship"
