@@ -13,6 +13,10 @@ The reference's parameter vocabulary maps onto the engine's:
 | weight             | weight (QSOrder/PAAC w)        |
 | lambdaValue        | lam (lambda-tuple offset)      |
 | g-gap              | stride (gapModel stride)       |
+| PseKRAAC_model     | psekraac_model (g-gap/lambda)  |
+| k-tuple            | ktuple (1, 2 or 3)             |
+| RAAC_clust         | raactype (cluster-table pick)  |
+| aaindex (';'-list) | aaindex (property manifest)    |
 plus engine-only: gap_seconds (sessionization), chunk_seconds (salting),
 num_buckets, hot_threshold, num_parts (manifest).
 """
@@ -34,6 +38,20 @@ DEFAULTS: dict[str, object] = {
     "num_buckets": 256,
     "hot_threshold": None,
     "num_parts": 64,
+    # PseKRAAC selection (reference feature.py:237-240 defaults): model
+    # 'g-gap' | 'lambda-correlation', cluster-table choice for
+    # alphabets.psekraac_alphabet(ptype, raactype), tuple size 1|2|3.
+    # The reference defaults RAAC_clust to 1, which is NOT a key of any
+    # type's AAGroup dict — its own dispatcher would reject it
+    # (feature.py:2851-2855). Default 2 here (valid for every type);
+    # documented reference-bug deviation per SURVEY meta-fact 4.
+    "psekraac_model": "g-gap",
+    "ktuple": 2,
+    "raactype": 2,
+    "psekraac_type": "1",
+    # AAIndex property manifest (feature.py:241 'aaindex'): the runtime
+    # property subset encode.property_channels projects in one pass
+    "aaindex": ["z1", "z3", "z5"],
 }
 
 # reference parameter names → engine names (feature.py:191-242 vocabulary)
@@ -43,6 +61,9 @@ _REFERENCE_ALIASES = {
     "nlag": "nlags",
     "lambdaValue": "lam",
     "g-gap": "stride",
+    "PseKRAAC_model": "psekraac_model",
+    "k-tuple": "ktuple",
+    "RAAC_clust": "raactype",
 }
 
 
@@ -68,6 +89,9 @@ def _normalize(d: dict) -> dict:
         key = _REFERENCE_ALIASES.get(k, k)
         if key == "gaps" and isinstance(v, int):
             v = list(range(v + 1))  # reference kspace=N means gaps 0..N
+        if key == "aaindex" and isinstance(v, str):
+            # reference packs the property list as ';'-separated ids
+            v = [t for t in v.split(";") if t]
         out[key] = v
     return out
 

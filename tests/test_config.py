@@ -39,3 +39,31 @@ def test_with_globals():
     assert p.get("x", "width") == 11
     assert p.get("x", "hot_threshold") == 1000
     assert p.get("x", "nlags") == DEFAULTS["nlags"]
+
+
+def test_psekraac_and_aaindex_reference_params(tmp_path):
+    """Round 4: the PseKRAAC selection params (PseKRAAC_model, k-tuple,
+    RAAC_clust — feature.py:237-240) and the ';'-packed aaindex manifest
+    (feature.py:241) round-trip through the reference-shaped JSON into
+    engine names, and the selected cluster table resolves."""
+    import json
+
+    from spark_pit.alphabets import psekraac_alphabet
+    from spark_pit.config import load_params
+
+    cfg = tmp_path / "p.json"
+    cfg.write_text(json.dumps({
+        "PseKRAAC": {"PseKRAAC_model": "lambda-correlation", "k-tuple": 3,
+                     "RAAC_clust": 8, "psekraac_type": "5"},
+        "AAIndex": {"aaindex": "z1;z2;z4"},
+    }))
+    p = load_params(str(cfg))
+    assert p.get("PseKRAAC", "psekraac_model") == "lambda-correlation"
+    assert p.get("PseKRAAC", "ktuple") == 3
+    assert p.get("PseKRAAC", "raactype") == 8
+    assert p.get("AAIndex", "aaindex") == ["z1", "z2", "z4"]
+    amap = psekraac_alphabet(p.get("PseKRAAC", "psekraac_type"),
+                             p.get("PseKRAAC", "raactype"))
+    assert len(set(amap.values())) == 8
+    # defaults match the reference's own defaults
+    assert p.get("other", "raactype") == 2 and p.get("other", "ktuple") == 2
