@@ -101,3 +101,21 @@ def test_agglomerative_recovers_blobs(spark):
     out = agglomerative_sample(emb, "vec_id", "embedding", k=3).toPandas()
     got = out.groupby("cluster")["vec_id"].apply(lambda s: sorted(s)).to_dict()
     assert got == {0: list(range(20)), 20: list(range(20, 40)), 40: list(range(40, 60))}
+
+
+def test_gmm_em_kernel_recovers_blobs_all_seeds(spark):
+    """Round-4 incident fix: the NumPy/Cholesky EM kernel (no f2j dsyev —
+    MLlib's GaussianMixture hung a second time, in-gate) recovers the
+    blob partition with posterior 1.0 for every seed tried, unlike the
+    MLlib EM whose 8-D seeds stalled in merged/split optima."""
+    from spark_pit.datagen import blobs_table
+    from spark_pit.operators.analysis import gmm_clusters_em
+
+    emb = blobs_table(spark)
+    truth = emb.select("vec_id", "blob").toPandas()
+    for seed in (3, 42):
+        out = gmm_clusters_em(emb, "vec_id", "embedding", k=4, seed=seed).toPandas()
+        j = out.merge(truth, on="vec_id")
+        assert j.groupby("blob")["cluster"].nunique().max() == 1, seed
+        assert j["cluster"].nunique() == 4, seed
+        assert j["max_prob"].min() > 0.999, seed
