@@ -501,3 +501,43 @@ def grouped_lagk_pair_freq(
     mapping = F.create_map(*[x for k, v in gm.items() for x in (F.lit(k), F.lit(v))])
     g = df.withColumn("__gtok", mapping[F.col(token_col)])
     return lagk_pair_freq(g, entity, ts, "__gtok", gaps, tiebreak)
+
+
+def stride_tuple_freq(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    token_col: str,
+    stride: int = 2,
+    ktuple: int = 2,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """PseKRAAC gapModel for ALL three k-tuple sizes (feature.py:2722-2770;
+    stride_pair_freq is the ktuple=2 special case kept for its green
+    oracle): anchors at positions ``range(0, L, stride)`` emit the anchor
+    token (ktuple=1, 2727-2736), the anchor + its immediate successor
+    (ktuple=2, 2739-2751), or the anchor + the next TWO immediate
+    successors (ktuple=3, 2753-2769 — consecutive tokens, NOT stride-
+    sampled, same fidelity point as the round-3 gapModel fix). Raw counts
+    per entity, one window pass (row_number + leads share the sort)."""
+    if ktuple not in (1, 2, 3):
+        raise ValueError(f"ktuple must be 1, 2 or 3, got {ktuple}")
+    w = entity_window(entity, ts, tiebreak)
+    cols = [
+        F.col(entity),
+        (F.row_number().over(w) - 1).alias("__pos"),
+        F.col(token_col).alias("tok_a"),
+    ]
+    keys = ["tok_a"]
+    if ktuple >= 2:
+        cols.append(F.lead(token_col, 1).over(w).alias("tok_b"))
+        keys.append("tok_b")
+    if ktuple == 3:
+        cols.append(F.lead(token_col, 2).over(w).alias("tok_c"))
+        keys.append("tok_c")
+    anchored = df.select(*cols).where(
+        (F.col("__pos") % stride == 0) & F.col(keys[-1]).isNotNull()
+    )
+    return anchored.groupBy(entity, *keys).agg(
+        F.count(F.lit(1)).alias("tuple_n")
+    )

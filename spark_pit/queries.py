@@ -695,6 +695,51 @@ FROM t WHERE tok_c IS NOT NULL GROUP BY doc_id, tok_a, tok_b, tok_c
 Q_PSEKRAAC_LAMBDA_SQL = _psekraac_lambda_sql()
 
 
+def q_psekraac_gap3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PseKRAAC 'type 6C, 5 clusters' in g-gap mode with ktuple=3
+    (feature.py:2753-2769: anchor + two IMMEDIATE successors at each
+    stride anchor) — the gapModel branch stride_pair_freq (k=2) didn't
+    cover, via the generalized stride_tuple_freq."""
+    from spark_pit.alphabets import psekraac_alphabet
+    from spark_pit.operators.pairs import stride_tuple_freq
+
+    seq = _residue_stream(spark, sf_dir, psekraac_alphabet("6c", 5))
+    return stride_tuple_freq(seq, "doc_id", "pos", "grp", stride=3, ktuple=3)
+
+
+def _psekraac_gap3_sql() -> str:
+    from spark_pit.alphabets import psekraac_alphabet
+
+    case = _psekraac_case_sql(psekraac_alphabet("6c", 5))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text
+  FROM documents
+),
+chars AS (
+  SELECT doc_id, p, substr(upper(text), CAST(p AS INT), 1) AS ch FROM pos
+),
+seq AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS rn,
+         {case} AS grp
+  FROM chars
+  WHERE ch IN ('A','C','D','E','F','G','H','I','K','L','M','N','P','Q','R','S','T','V','W','Y')
+),
+t AS (
+  SELECT doc_id, rn, grp AS tok_a,
+         lead(grp, 1) OVER w AS tok_b,
+         lead(grp, 2) OVER w AS tok_c
+  FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY rn)
+)
+SELECT doc_id, tok_a, tok_b, tok_c, count(*) AS tuple_n
+FROM t WHERE rn % 3 = 0 AND tok_c IS NOT NULL
+GROUP BY doc_id, tok_a, tok_b, tok_c
+"""
+
+
+Q_PSEKRAAC_GAP3_SQL = _psekraac_gap3_sql()
+
+
 def q_opf_multihot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPF_10bit overlapping multi-hot (feature.py:2386-2418) as the one
     parameterized table op (encode.positional_multihot + alphabets.
@@ -3913,6 +3958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surface_depth_3d": q_surface_depth_3d,
     "psekraac_gap": q_psekraac_gap,
     "psekraac_lambda": q_psekraac_lambda,
+    "psekraac_gap3": q_psekraac_gap3,
     "opf_multihot": q_opf_multihot,
     "aaindex_multi": q_aaindex_multi,
     "ivf_topk_checksums": q_ivf_topk_checksums,
@@ -4110,6 +4156,7 @@ ORACLES: dict[str, str] = {
     "surface_depth_3d": Q_SURFACE_DEPTH_3D_SQL,
     "psekraac_gap": Q_PSEKRAAC_GAP_SQL,
     "psekraac_lambda": Q_PSEKRAAC_LAMBDA_SQL,
+    "psekraac_gap3": Q_PSEKRAAC_GAP3_SQL,
     "opf_multihot": Q_OPF_MULTIHOT_SQL,
     "aaindex_multi": Q_AAINDEX_MULTI_SQL,
     "ivf_topk_checksums": Q_IVF_TOPK_CHECKSUMS_SQL,

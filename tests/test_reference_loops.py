@@ -347,3 +347,34 @@ def test_blosum62_matches_reference_literal():
     }
     chans = property_tables(BLOSUM62)
     assert len(chans) == 20 and chans["z1"]["W"] == -3.0
+
+
+def test_psekraac_gap_model_ktuple_1_and_3_match_reference_loop(spark):
+    """gapModel's other two k-tuple branches (feature.py:2727-2736 k=1:
+    stride-sampled composition; 2753-2769 k=3: anchor + two IMMEDIATE
+    successors) via the generalized stride_tuple_freq."""
+    from spark_pit.operators.pairs import stride_tuple_freq
+
+    stride = 3
+    out1 = stride_tuple_freq(
+        _seq_df(spark), "user_id", "ts", "event_type", stride=stride,
+        ktuple=1, tiebreak="event_id",
+    ).toPandas()
+    out3 = stride_tuple_freq(
+        _seq_df(spark), "user_id", "ts", "event_type", stride=stride,
+        ktuple=3, tiebreak="event_id",
+    ).toPandas()
+    for ent, s in SEQS.items():
+        toks = s.split()
+        c1: dict[str, int] = {}
+        c3: dict[tuple, int] = {}
+        for j in range(0, len(toks), stride):
+            c1[toks[j]] = c1.get(toks[j], 0) + 1
+            if j + 2 < len(toks):
+                key = (toks[j], toks[j + 1], toks[j + 2])
+                c3[key] = c3.get(key, 0) + 1
+        g1 = {r.tok_a: r.tuple_n for r in out1[out1["user_id"] == ent].itertuples()}
+        g3 = {(r.tok_a, r.tok_b, r.tok_c): r.tuple_n
+              for r in out3[out3["user_id"] == ent].itertuples()}
+        assert g1 == c1, ent
+        assert g3 == c3, ent
