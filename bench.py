@@ -163,6 +163,20 @@ def main() -> None:
     # (co-tenant noise, GC); min over repeats isolates plan cost.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
+    # hypervisor steal-time accounting across the whole timed section:
+    # steal is invisible in load average but inflates every wall clock
+    # (round-4 diagnosis, BENCH.md) — recording it makes each bench line
+    # carry its own noise context
+    def _jiffies0():
+        try:
+            with open("/proc/stat") as fh:
+                f = fh.readline().split()
+            vals = list(map(int, f[1:]))
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except Exception:
+            return None, None
+
+    _tot0, _st0 = _jiffies0()
     for name, fn in bench_set.items():
         df = fn(spark, sf_dir)
         _force(df)  # warm: JIT, file listing, broadcast (excluded from timing)
@@ -174,6 +188,11 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    _tot1, _st1 = _jiffies0()
+    steal_pct = (
+        round(100.0 * (_st1 - _st0) / max(_tot1 - _tot0, 1), 2)
+        if _tot0 is not None and _tot1 is not None else None
+    )
     if "flagship" in timings:
         timings["flagship_rows_per_sec"] = round(
             n_events / max(timings["flagship"], 1e-9), 1
@@ -192,6 +211,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "cpus": int(cpus),
                 "event_rows": n_events,
+                "steal_pct": steal_pct,
             }
         )
     )
