@@ -737,6 +737,7 @@ def gmm_clusters_em(
     seed: int = 42,
     n_iter: int = 60,
     reg_covar: float = 1e-6,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Full-covariance Gaussian-mixture EM with a NumPy/LAPACK kernel
     (iAnalysis.GM semantics, feature.py:4809-4822 — sklearn-style
@@ -756,13 +757,24 @@ def gmm_clusters_em(
     no such failure mode — while ``gmm_clusters`` remains the
     MLlib-surface rows-only query at sf scale, OUTSIDE every gate window.
 
-    Deterministic: np.random.default_rng(seed) responsibility init, fixed
+    Deterministic: np.random.default_rng(seed) k-means++ init, fixed
     iteration count, float64 throughout. Returns (id, cluster, max_prob).
+
+    ``group_col`` keys the EM per group — the distributed shape (one
+    bounded mixture fit per entity across executors, like
+    affinity_propagation_grouped); None fits ONE mixture over the whole
+    input in a single Arrow batch, which is only for bounded fixtures.
+    The at-scale single-mixture path over unbounded rows remains MLlib
+    ``gmm_clusters``.
     """
     import numpy as np
     import pandas as pd
 
-    out_schema = f"{id_col} long, cluster int, max_prob double"
+    gcols = [group_col] if group_col else []
+    out_schema = ", ".join(
+        [f"{c} string" for c in gcols]
+        + [f"{id_col} long", "cluster int", "max_prob double"]
+    )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.stack(pdf["__v"].to_numpy())
@@ -808,15 +820,20 @@ def gmm_clusters_em(
             mx = log_prob.max(axis=1, keepdims=True)
             p = np.exp(log_prob - mx)
             resp = p / p.sum(axis=1, keepdims=True)
-        return pd.DataFrame(
-            {
-                id_col: pdf[id_col].to_numpy(),
-                "cluster": resp.argmax(axis=1).astype("int32"),
-                "max_prob": np.round(resp.max(axis=1), 6),
-            }
-        )
+        out = {c: pdf[c].to_numpy() for c in gcols}
+        out[id_col] = pdf[id_col].to_numpy()
+        out["cluster"] = resp.argmax(axis=1).astype("int32")
+        out["max_prob"] = np.round(resp.max(axis=1), 6)
+        return pd.DataFrame(out)
 
+    if group_col:
+        prepped = df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        return prepped.groupBy(group_col).applyInPandas(fit, out_schema)
     prepped = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("__g", F.lit(0))
-    return prepped.groupBy("__g").applyInPandas(fit, out_schema)
+    return prepped.groupBy("__g").applyInPandas(fit, out_schema).drop("__g")

@@ -119,3 +119,26 @@ def test_gmm_em_kernel_recovers_blobs_all_seeds(spark):
         assert j.groupby("blob")["cluster"].nunique().max() == 1, seed
         assert j["cluster"].nunique() == 4, seed
         assert j["max_prob"].min() > 0.999, seed
+
+
+def test_gmm_em_kernel_grouped_path(spark):
+    """group_col fits one bounded mixture per group across executors (the
+    distributed shape); per-group recovery matches the single-group fit."""
+    from pyspark.sql import functions as F
+
+    from spark_pit.datagen import blobs_table
+    from spark_pit.operators.analysis import gmm_clusters_em
+
+    emb = blobs_table(spark).withColumn(
+        "grp", (F.col("blob") < 2).cast("string")
+    )
+    out = gmm_clusters_em(
+        emb, "vec_id", "embedding", k=2, seed=42, group_col="grp"
+    ).toPandas()
+    truth = emb.select("vec_id", "blob", "grp").toPandas()
+    j = out.merge(truth, on=["vec_id", "grp"])
+    assert len(j) == 160
+    for g, sub in j.groupby("grp"):
+        assert sub.groupby("blob")["cluster"].nunique().max() == 1, g
+        assert sub["cluster"].nunique() == 2, g
+        assert sub["max_prob"].min() > 0.999, g
