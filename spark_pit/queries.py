@@ -1377,6 +1377,71 @@ SELECT CAST(0 AS BIGINT) AS n_only_stream,
 """
 
 
+def q_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming DRIVER-GATE row (round 4): gap-based session
+    windows. The built-in F.session_window stream (AvailableNow, append
+    mode = watermark-closed sessions only) must be a SUBSET of the batch
+    gap-sessionization with identical (user, session_start, n_events)
+    keys — all exact types, no float in the match — so
+    n_unmatched_stream is pinned ZERO at every sf, and has_sessions
+    pins that the stream actually emitted (the subset isn't vacuous).
+    Any watermark/state-machine drift in the streaming operator flips
+    the gate red."""
+    import os
+    import tempfile
+
+    from spark_pit.operators.windows import with_session_id
+    from spark_pit.streaming import streaming_session_stats
+
+    ck = tempfile.mkdtemp(prefix="ck_sess_parity_")
+    name = "sess_parity_" + os.path.basename(ck).strip("_").replace("-", "_")[-12:]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(sf_dir)
+        .where(F.col("event_id").isNotNull())
+        .select(
+            "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "value", "event_id",
+        )
+    )
+    stream_q = (
+        streaming_session_stats(raw, "user_id", "ts", "value", gap="30 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream_q.awaitTermination(300)
+    stream = spark.table(name).select(
+        "user_id",
+        F.col("session_start").alias("ss"),
+        F.col("n_events").alias("ne"),
+        F.lit(1).alias("__s"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"), "value", "event_id"
+    )
+    batch = (
+        with_session_id(ev, "user_id", "ts", 1800, tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("ss"), F.count(F.lit(1)).alias("ne"))
+        .select("user_id", "ss", "ne", F.lit(1).alias("__b"))
+    )
+    j = stream.join(batch, ["user_id", "ss", "ne"], "left")
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("__b").isNull(), 1)), F.lit(0).cast("long"))
+        .cast("long").alias("n_unmatched_stream"),
+        (F.count(F.lit(1)) > 0).alias("has_sessions"),
+    )
+
+
+Q_STREAMING_SESSION_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_unmatched_stream, CAST(TRUE AS BOOLEAN) AS has_sessions
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup marking (the training-pipeline dedup mode
     beyond text MinHash/SimHash): dup iff a smaller-id vector has
@@ -3971,6 +4036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ann": q_knn_ann,
     "embedding_neardup": q_embedding_neardup,
     "streaming_asof_parity": q_streaming_asof_parity,
+    "streaming_session_parity": q_streaming_session_parity,
     "shell_composition_3d": q_shell_composition_3d,
     "betweenness": q_betweenness,
     "closeness_centrality": q_closeness_centrality,
@@ -4124,6 +4190,7 @@ ORACLES: dict[str, str] = {
     "image_fidelity": Q_IMAGE_FIDELITY_SQL,
     "shell_composition_3d": Q_SHELL_COMPOSITION_3D_SQL,
     "streaming_asof_parity": Q_STREAMING_ASOF_PARITY_SQL,
+    "streaming_session_parity": Q_STREAMING_SESSION_PARITY_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "ksc_triad": Q_KSC_TRIAD_SQL,
