@@ -61,7 +61,13 @@ def pca_embeddings(
     from pyspark.ml.functions import vector_to_array
 
     feats = _assemble(df, vec_col)
-    model = PCA(k=k, inputCol="__features", outputCol="__pca").fit(feats)
+    try:
+        model = PCA(k=k, inputCol="__features", outputCol="__pca").fit(feats)
+    except Exception:
+        # one retry: MLlib .fit has flaked transiently under long-session
+        # executor contention (round-3/4 observation — clean in isolation
+        # and on immediate rerun both times)
+        model = PCA(k=k, inputCol="__features", outputCol="__pca").fit(feats)
     return model.transform(feats).select(
         id_col, vector_to_array("__pca").alias("pca")
     )
