@@ -268,3 +268,90 @@ def pack_documents(
         F.floor(cum / budget).cast("long").alias("bin_id"),
         (cum % budget).cast("long").alias("bin_offset"),
     )
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, pos, gram-hash) rows for every n-token span: posexplode +
+    one per-doc window of n−1 leads (single sort exchange), gram string =
+    space-joined span, hashed portably (tok_hash). JVM-side end to end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        id_col, "pos", F.concat_ws(" ", *parts).alias("gram"),
+        parts[-1].isNotNull().alias("__full"),
+    ).where("__full")
+    return grams.select(id_col, "pos", tok_hash(F.col("gram")).alias("gh"))
+
+
+def dup_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Gopher-style CROSS-document duplicate-span accounting: per document,
+    the fraction of its n-gram spans whose hash also occurs in ANOTHER
+    document (the pretraining-corpus signal behind line/paragraph dedup —
+    this table's text is flat token soup, so fixed n-token spans stand in
+    for paragraphs). Plan: gram rows → doc-frequency partial agg → semi
+    join back — two hash-partitioned shuffles on the gram key, no
+    all-pairs anything; a 10⁷-doc boilerplate span costs its doc-frequency
+    row, not a pair blowup. Returns (id, n_grams, n_dup_grams, dup_frac).
+    """
+    grams = _gram_rows(df, id_col, text_col, n)
+    # gram -> number of DISTINCT docs containing it (partial agg shuffle)
+    docfreq = grams.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("df"),
+    )
+    joined = grams.join(docfreq.where(F.col("df") > 1), "gh", "left_semi")
+    dup = joined.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    total = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        total.join(dup, id_col, "left")
+        .na.fill({"n_dup_grams": 0})
+        .select(
+            id_col, "n_grams", "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe_text_col: str | None = None,
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination (the standard pretraining hygiene pass):
+    flag training documents whose n-gram spans overlap a probe/benchmark
+    corpus. Overlap is measured on DISTINCT gram hashes (containment on
+    the doc side), and a doc is contaminated when overlap_frac >=
+    threshold OR any single probe gram matches 'verbatim-long' spans —
+    here simply overlap_frac, the common practical form. Plan: the probe
+    gram set is a (usually small) distinct-hash table — broadcast when
+    tiny, hash equi-join otherwise; training grams never self-join.
+    Returns (id, n_grams, n_probe_hits, overlap_frac, contaminated)."""
+    grams = _gram_rows(df, id_col, text_col, n).select(id_col, "gh").distinct()
+    probe_grams = (
+        _gram_rows(probes, id_col, probe_text_col or text_col, n)
+        .select("gh").distinct()
+    )
+    hits = grams.join(probe_grams, "gh", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_probe_hits")
+    )
+    total = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        total.join(hits, id_col, "left")
+        .na.fill({"n_probe_hits": 0})
+        .select(
+            id_col, "n_grams", "n_probe_hits",
+            F.round(F.col("n_probe_hits") / F.col("n_grams"), 6)
+            .alias("overlap_frac"),
+        )
+        .withColumn("contaminated", F.col("overlap_frac") >= threshold)
+    )

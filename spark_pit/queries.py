@@ -2257,6 +2257,91 @@ FROM documents
 """
 
 
+_GRAM_SQL_COMMON = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos,
+         concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                   lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                   lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                   lead(tok, 7) OVER w) AS gram,
+         lead(tok, 7) OVER w IS NOT NULL AS fullg
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+h AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+           % 1000000007 AS gh
+  FROM g WHERE fullg
+)"""
+
+
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style cross-document duplicate-span accounting (round 4):
+    per doc, the fraction of 8-token spans whose hash occurs in another
+    document — the corpus-level signal behind paragraph/line dedup
+    (this table's text is flat token soup, so fixed spans stand in)."""
+    from spark_pit.operators.textstats import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(spark, sf_dir), "doc_id", "text", n=8)
+
+
+Q_DUP_NGRAM_STATS_SQL = _GRAM_SQL_COMMON + """,
+docfreq AS (
+  SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+),
+dup AS (
+  SELECT h.doc_id, count(*) AS n_dup_grams
+  FROM h SEMI JOIN docfreq USING (gh)
+  GROUP BY h.doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM h GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       round(CAST(coalesce(d.n_dup_grams, 0) AS DOUBLE) / t.n_grams, 6)
+         AS dup_frac
+FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 4): flag documents whose distinct
+    8-gram hashes overlap the probe corpus (stand-in probe set: docs with
+    doc_id % 50 == 0) at >= 10% containment. Probe grams are a small
+    distinct-hash table -> semi equi-join, no self-join."""
+    from spark_pit.operators.textstats import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, probes, "doc_id", "text", n=8, threshold=0.1)
+
+
+Q_DECONTAMINATE_SQL = _GRAM_SQL_COMMON + """,
+dg AS (SELECT DISTINCT doc_id, gh FROM h),
+probe AS (
+  SELECT DISTINCT gh FROM h WHERE doc_id % 50 = 0
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_probe_hits
+  FROM dg SEMI JOIN probe USING (gh)
+  GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(x.n_probe_hits, 0) AS BIGINT) AS n_probe_hits,
+       round(CAST(coalesce(x.n_probe_hits, 0) AS DOUBLE) / t.n_grams, 6)
+         AS overlap_frac,
+       round(CAST(coalesce(x.n_probe_hits, 0) AS DOUBLE) / t.n_grams, 6) >= 0.1
+         AS contaminated
+FROM tot t LEFT JOIN hits x ON t.doc_id = x.doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.dedup import exact_dedup
 
@@ -4115,6 +4200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "decontaminate": q_decontaminate,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash": q_simhash,
@@ -4211,6 +4298,8 @@ ORACLES: dict[str, str] = {
     "lang_id": Q_LANG_ID_SQL,
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dup_ngram_stats": Q_DUP_NGRAM_STATS_SQL,
+    "decontaminate": Q_DECONTAMINATE_SQL,
     "minhash_signatures": Q_MINHASH_SQL,
     "minhash_lsh_dedup": Q_MINHASH_LSH_SQL,
     "minhash_dedup_mark": Q_MINHASH_MARK_SQL,

@@ -255,3 +255,40 @@ def test_minhash_lsh_pair_cap_raises_on_oversized_bucket(spark):
         df, "doc_id", "text", threshold=0.5, max_pairs_per_bucket=None
     ).toPandas()
     assert len(out) == 30 * 29 // 2
+
+
+def test_dup_ngram_stats_planted_span(spark):
+    """A 10-token span shared verbatim by two docs marks exactly the
+    shared 8-gram windows in both; a disjoint doc stays at 0."""
+    span = "q w e r t y u i o p"
+    rows = [
+        (1, span + " alpha beta"),
+        (2, "gamma " + span),
+        (3, "totally different words with no shared span here at all"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = textstats.dup_ngram_stats(df, "doc_id", "text", n=8).toPandas()
+    m = out.set_index("doc_id")
+    # 10-token span -> 3 distinct 8-gram windows fully inside it
+    assert m.loc[1, "n_dup_grams"] == 3 and m.loc[2, "n_dup_grams"] == 3
+    assert m.loc[3, "n_dup_grams"] == 0 and m.loc[3, "dup_frac"] == 0.0
+
+
+def test_decontaminate_flags_probe_overlap(spark):
+    """A training doc containing a probe 8-gram is flagged at the
+    containment threshold; clean docs are not."""
+    probe_txt = "the secret benchmark answer sequence goes right here ok"
+    rows = [
+        (1, "x " + probe_txt),                       # contains probe grams
+        (2, "benign text with nothing from the benchmark probe corpus x1 x2"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    probes = spark.createDataFrame(
+        pd.DataFrame([(99, probe_txt)], columns=["doc_id", "text"])
+    )
+    out = textstats.decontaminate(
+        df, probes, "doc_id", "text", n=8, threshold=0.2
+    ).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[1, "n_probe_hits"] == 2  # 9-token doc tail -> 2 probe grams
+    assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "n_probe_hits"] == 0
