@@ -155,3 +155,58 @@ def stratified_sample(
             F.col(strata_col).cast("string") == k, F.lit(int(frac * 1_000_000))
         ).otherwise(thresh)
     return df.where(bucket < thresh)
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    salt: str = "t1",
+) -> DataFrame:
+    """Temperature-based domain rebalancing — the standard pretraining
+    data-mixing pass (multilingual/domain alpha-sampling): groups are
+    downsampled toward proportions ∝ count^alpha, keeping the smallest
+    group intact. Per-group keep fraction f_g = (c_min / c_g)^(1-alpha):
+    alpha=1 keeps everything, alpha=0 equalizes every group down to the
+    smallest. Row selection is the repo's deterministic md5-fold threshold
+    (engine- and partitioning-independent; same convention as
+    :func:`deterministic_sample`).
+
+    Scale: one partial-agg shuffle over the group key produces the
+    (tiny, one-row-per-domain) weight table, broadcast back onto the
+    scan — the corpus itself is never re-shuffled. alpha=0.5 computes
+    f_g via sqrt, which is IEEE-correctly-rounded in both Spark and
+    DuckDB, so thresholds are bit-identical cross-engine; other alphas
+    go through pow (documented: pow may differ by 1 ulp across libm
+    implementations, so oracle thresholds could flip a boundary row).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    w = counts.crossJoin(F.broadcast(cmin))
+    ratio = F.col("__cmin").cast("double") / F.col("__c")
+    if alpha == 1.0:
+        frac = F.lit(1.0)
+    elif alpha == 0.5:
+        frac = F.sqrt(ratio)
+    else:
+        frac = F.pow(ratio, 1.0 - alpha)
+    w = w.select(
+        group_col,
+        F.floor(frac * 1_000_000).cast("long").alias("__thresh"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(w), group_col)
+        .where(bucket < F.col("__thresh"))
+        .drop("__thresh")
+    )

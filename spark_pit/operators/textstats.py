@@ -355,3 +355,33 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("overlap_frac") >= threshold)
     )
+
+
+# Portable PII patterns: literal classes + {m,n} quantifiers + ASCII \b only,
+# so Java regex (Spark) and RE2 (DuckDB) match identically. Redaction is
+# SEQUENTIAL in this order — each count is taken on the text AFTER the
+# previous pattern's replacement, so an IPv4-looking run inside an already
+# redacted email is not double-counted.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing — the standard pretraining hygiene pass (emails,
+    IPv4 addresses, phone-shaped numbers replaced by typed placeholder
+    tokens, with per-class match counts). Pure JVM regexp expressions in
+    one zero-shuffle projection over the scan; the nested replace chain
+    stays inside whole-stage codegen. Returns
+    (id, n_email, n_ipv4, n_phone, redacted)."""
+    cur = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat, rep in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(*cols, cur.alias("redacted"))

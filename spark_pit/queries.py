@@ -2342,6 +2342,102 @@ FROM tot t LEFT JOIN hits x ON t.doc_id = x.doc_id
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (round 4): emails / IPv4 / phone-shaped numbers
+    replaced by typed placeholders with per-class counts. The corpus text
+    is digit-free token soup, so deterministic PII is PLANTED inline for
+    doc_id % 3 == 0 (identically in the SQL oracle) — redaction counts and
+    the scrubbed string are then value-verified, not vacuously zero."""
+    from spark_pit.operators.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com on 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call 415 555 0123"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(planted, "doc_id", "text")
+
+
+Q_REDACT_PII_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           '@mail.example.com on 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+           '.7 call 415 555 0123'
+         ELSE text END AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM p
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+         regexp_replace(t1,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_email, n_ipv4,
+       len(regexp_extract_all(t2,
+           '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b')) AS n_phone,
+       regexp_replace(t2,
+           '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b',
+           '<PHONE>', 'g') AS redacted
+FROM s2
+"""
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (round 4): per-LANGUAGE keep
+    fraction (c_min/c_lang)^0.5 — alpha=0.5 flattening toward the
+    smallest language — selected by the deterministic md5-fold threshold.
+    The synthetic corpus is language-skewed (en ≈ 3× de at every sf), so
+    the op genuinely downsamples: the kept set is a strict, per-group-
+    uneven subset, not the identity. sqrt is IEEE-correctly-rounded in
+    both engines, so the per-domain thresholds (and hence the kept row
+    set) are bit-identical. (`source` is uniform by construction, which
+    would make the query vacuous — keep fraction 1.0 everywhere.)"""
+    from spark_pit.operators.ingest import temperature_resample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    return temperature_resample(docs, "doc_id", "lang", alpha=0.5, salt="t1")
+
+
+Q_TEMPERATURE_RESAMPLE_SQL = """
+WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS cmin FROM c),
+w AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(cmin AS DOUBLE) / c) * 1000000) AS BIGINT)
+           AS thresh
+  FROM c, m
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN w USING (lang)
+WHERE CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), 't1')),
+                               1, 15)) AS BIGINT) % 1000000 < w.thresh
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.dedup import exact_dedup
 
@@ -4146,6 +4242,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "audio_checksums": q_audio_checksums,
     "frame_sample_checksums": q_frame_sample_checksums,
+    "redact_pii": q_redact_pii,
+    "temperature_resample": q_temperature_resample,
     "mean_shift": q_mean_shift,
     "affinity_clusters": q_affinity_clusters,
     "dbscan": q_dbscan,
@@ -4300,6 +4398,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dup_ngram_stats": Q_DUP_NGRAM_STATS_SQL,
     "decontaminate": Q_DECONTAMINATE_SQL,
+    "redact_pii": Q_REDACT_PII_SQL,
+    "temperature_resample": Q_TEMPERATURE_RESAMPLE_SQL,
     "minhash_signatures": Q_MINHASH_SQL,
     "minhash_lsh_dedup": Q_MINHASH_LSH_SQL,
     "minhash_dedup_mark": Q_MINHASH_MARK_SQL,

@@ -292,3 +292,49 @@ def test_decontaminate_flags_probe_overlap(spark):
     assert bool(out.loc[1, "contaminated"])
     assert out.loc[1, "n_probe_hits"] == 2  # 9-token doc tail -> 2 probe grams
     assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "n_probe_hits"] == 0
+
+
+def test_redact_pii_sequential_counts(spark):
+    """Each class is counted on the text AFTER the previous replacement:
+    the IPv4-looking run inside an email domain is not double-counted,
+    and the redacted string carries typed placeholders."""
+    rows = [
+        (1, "write me at a.b+c@sub.example.org or at 10.1.2.3 thanks"),
+        (2, "call 415 555 0123 or 800-555-9999 today"),
+        (3, "no personal data here at all"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = textstats.redact_pii(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 1 and out.loc[1, "n_ipv4"] == 1
+    assert out.loc[1, "redacted"] == "write me at <EMAIL> or at <IP> thanks"
+    assert out.loc[2, "n_phone"] == 2
+    assert out.loc[2, "redacted"] == "call <PHONE> or <PHONE> today"
+    assert (
+        out.loc[3, ["n_email", "n_ipv4", "n_phone"]].sum() == 0
+        and out.loc[3, "redacted"] == "no personal data here at all"
+    )
+
+
+def test_temperature_resample_flattens_domains(spark):
+    """alpha=0.5 keeps the smallest group whole and downsamples larger
+    groups by (c_min/c_g)^0.5; alpha=1 is the identity. Selection is
+    partition-layout invariant (deterministic md5 threshold)."""
+    from spark_pit.operators.ingest import temperature_resample
+
+    rows = [(i, "big" if i < 1600 else "small") for i in range(1700)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "grp"]))
+    out = temperature_resample(df, "doc_id", "grp", alpha=0.5)
+    counts = out.groupBy("grp").count().toPandas().set_index("grp")["count"]
+    assert counts["small"] == 100                    # smallest kept whole
+    # f_big = sqrt(100/1600) = 0.25 -> ~400 of 1600
+    assert 320 <= counts["big"] <= 480
+    ids = set(r[0] for r in out.select("doc_id").collect())
+    ids_rep = set(
+        r[0]
+        for r in temperature_resample(
+            df.repartition(13), "doc_id", "grp", alpha=0.5
+        ).select("doc_id").collect()
+    )
+    assert ids == ids_rep
+    full = temperature_resample(df, "doc_id", "grp", alpha=1.0)
+    assert full.count() == 1700
