@@ -477,3 +477,43 @@ def dedup_clusters(
     return canon.join(sizes, "canonical_id").select(
         id_col, "canonical_id", "cluster_size"
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    group_col: str | None = None,
+    val_frac: float = 0.1,
+    salt: str = "sp1",
+) -> DataFrame:
+    """Train/validation SPLIT that cannot leak duplicates across sides —
+    the hygiene op naive random splits get wrong: if two copies of a
+    document land on opposite sides, the eval set is contaminated by
+    construction. The side is decided by the portable md5-fold of the
+    duplicate-GROUP key, not the row id:
+
+    - ``text_col`` mode: the group key is the content itself (md5 of the
+      text), so EXACT duplicates share a key and land on one side, in a
+      single ZERO-SHUFFLE projection over the scan — no grouping pass,
+      no representative election, nothing to co-locate.
+    - ``group_col`` mode: the caller supplies a precomputed cluster id
+      (e.g. ``dedup_clusters``' cluster column), extending the guarantee
+      to NEAR-duplicates; still a pure projection over the scan.
+
+    The fold is the repo's deterministic md5 threshold (same convention
+    as deterministic_sample): engine-, partitioning- and run-invariant,
+    so the split is reproducible anywhere. Returns the input plus a
+    ``split`` column ('train'/'val')."""
+    if (text_col is None) == (group_col is None):
+        raise ValueError("pass exactly one of text_col / group_col")
+    key = F.md5(F.col(text_col)) if text_col else F.col(group_col).cast("string")
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 15), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    return df.withColumn(
+        "split",
+        F.when(fold < int(val_frac * 1_000_000), F.lit("val")).otherwise(F.lit("train")),
+    )

@@ -270,3 +270,142 @@ def audio_features(audio: DataFrame) -> DataFrame:
             })
 
     return cols.mapInPandas(kern, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    chunks: int = 4,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs — the image-payload twin
+    of :func:`spark_pit.operators.dedup.simhash_neardup_pairs`, applied to
+    the input_hint's 64-bit ``phash`` column directly (no sketch step:
+    the perceptual hash IS the sketch). Pigeonhole banding: the hash is
+    split into ``chunks`` equal chunks; any pair at hamming distance
+    ≤ chunks−1 agrees on at least one whole chunk, so an equi-join on
+    (chunk_idx, chunk_value) yields candidates with EXACT recall for
+    ``max_hamming ≤ chunks−1``; exact hamming (xor + popcount, JVM-side)
+    verifies. 64-bit/4-chunk default finds everything within hamming 3 —
+    the usual "same image, re-encoded/resized" pHash radius.
+
+    Scale: candidates are an equi-join on 16-bit chunk values — bucket
+    sizes are corpus_size/65536 per chunk under a uniform hash, and a
+    re-encoded-duplicate cluster of size k contributes O(k) rows per
+    bucket, pairing only within buckets. The top chunk uses an UNSIGNED
+    shift so negative (high-bit-set) hashes band correctly."""
+    if max_hamming > chunks - 1:
+        raise ValueError("exact recall needs max_hamming <= chunks - 1")
+    cw = bits // chunks
+    mask = (1 << cw) - 1
+    p = F.col(phash_col)
+    chunk_cols = [
+        (F.shiftrightunsigned(p, c * cw).bitwiseAND(F.lit(mask))).alias(f"__c{c}")
+        for c in range(chunks)
+    ]
+    stack = "stack({n}, {args}) as (chunk, val)".format(
+        n=chunks, args=", ".join(f"{c}, __c{c}" for c in range(chunks))
+    )
+    keyed = images.select(
+        F.col(id_col), p.alias("__ph"), *chunk_cols
+    ).select(id_col, "__ph", F.expr(stack))
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("__ph").alias("ph_a"), "chunk", "val")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("__ph").alias("ph_b"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# (bucket_w, bucket_h) targets; ratios must be pairwise distinct.
+ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (256, 256), (320, 192), (192, 320), (384, 128), (128, 384),
+)
+
+
+def aspect_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    w_col: str = "w",
+    h_col: str = "h",
+    buckets: tuple[tuple[int, int], ...] = ASPECT_BUCKETS,
+    batch_size: int = 32,
+    n_shards: int = 8,
+    salt: str = "ab1",
+) -> DataFrame:
+    """Aspect-ratio BUCKETED BATCHING — the standard image-training
+    batch-assembly pass (varied-aspect corpora are grouped into
+    fixed-shape buckets so a batch shares one crop shape; cf. the
+    aspect-bucketing used by large diffusion/captioning trainers).
+
+    Bucket assignment is EXACT INTEGER arithmetic, no float ratios: the
+    distance of image aspect w/h from bucket aspect bw/bh is
+    |w·bh − h·bw| / bh (common factor 1/h dropped — it is shared by
+    every bucket), put on the common denominator L = lcm(bh) so all
+    bucket scores are comparable int64s. argmin via array_min over
+    (score, idx) structs — bit-identical in any engine, immune to the
+    cross-engine libm log/double divergence this repo has been bitten
+    by twice.
+
+    Batching mirrors pack_documents' sharded shape: documents are
+    sharded by the portable md5-fold, and batch_id = row_number within
+    (bucket, shard) ordered by (fold, id) divided by batch_size — the
+    wide op is a window PARTITIONED BY (bucket, shard), never a global
+    sort. Returns (id, w, h, bucket_idx, bucket_w, bucket_h, shard,
+    batch_id, slot)."""
+    from math import lcm
+
+    from pyspark.sql import Window
+
+    big_l = 1
+    for _, bh in buckets:
+        big_l = lcm(big_l, bh)
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    scored = F.array(*[
+        F.struct(
+            (F.abs(w * bh - h * bw) * (big_l // bh)).alias("score"),
+            F.lit(i).alias("idx"),
+        )
+        for i, (bw, bh) in enumerate(buckets)
+    ])
+    best = F.array_min(scored)
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+            16, 10,
+        ).cast("long")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(w_col),
+        F.col(h_col),
+        best["idx"].alias("bucket_idx"),
+        (fold % n_shards).cast("int").alias("shard"),
+        fold.alias("__fold"),
+    )
+    bw_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(len(buckets))]),
+        F.array(*[F.lit(bw) for bw, _ in buckets]),
+    )
+    bh_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(len(buckets))]),
+        F.array(*[F.lit(bh) for _, bh in buckets]),
+    )
+    win = Window.partitionBy("bucket_idx", "shard").orderBy("__fold", id_col)
+    rn = F.row_number().over(win) - 1
+    return base.select(
+        id_col, w_col, h_col, "bucket_idx",
+        bw_map[F.col("bucket_idx")].alias("bucket_w"),
+        bh_map[F.col("bucket_idx")].alias("bucket_h"),
+        "shard",
+        F.floor(rn / batch_size).cast("long").alias("batch_id"),
+        (rn % batch_size).cast("int").alias("slot"),
+    )

@@ -2438,6 +2438,140 @@ WHERE CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), 't1')),
 """
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash hamming near-dup pairs (round 4, image payload): pigeonhole
+    banding on the 64-bit perceptual hash — exact recall for hamming ≤ 3
+    at 4 chunks. Random 64-bit hashes essentially never collide within
+    hamming 3, so near-dup pairs are PLANTED: every 5th image gets a
+    'dup_'-prefixed copy whose phash has 1+(k%3) deterministic bit flips
+    (bits 3k, 3k+1, 3k+2 mod 64). The expected pair set — ids and exact
+    hamming — is therefore a closed-form literal, and the oracle is a
+    VALUES table, independently re-derivable by hand. sf-independent
+    (seed-42 50-entity table), per the pin rule."""
+    from spark_pit.datagen import images_table
+    from spark_pit.operators.images import phash_neardup_pairs
+
+    imgs = images_table(spark, n_entities=50, n_rows=500, seed=42)
+    base = imgs.groupBy("image_id").agg(F.min("phash").alias("phash"))
+    k = F.substring("image_id", 5, 6).cast("int")
+    planted = (
+        base.where(F.pmod(k, 5) == 0)
+        .withColumn("k", k)
+        .withColumn("nflip", F.pmod(F.col("k"), 3) + 1)
+        .withColumn("m0", F.expr("shiftleft(1L, CAST(pmod(k*3, 64) AS INT))"))
+        .withColumn("m1", F.expr(
+            "CASE WHEN nflip >= 2 THEN shiftleft(1L, CAST(pmod(k*3+1, 64) AS INT)) ELSE 0L END"))
+        .withColumn("m2", F.expr(
+            "CASE WHEN nflip >= 3 THEN shiftleft(1L, CAST(pmod(k*3+2, 64) AS INT)) ELSE 0L END"))
+        .select(
+            F.concat(F.lit("dup_"), F.col("image_id")).alias("image_id"),
+            F.col("phash").bitwiseXOR(F.col("m0"))
+            .bitwiseXOR(F.col("m1")).bitwiseXOR(F.col("m2")).alias("phash"),
+        )
+    )
+    return phash_neardup_pairs(
+        base.union(planted), chunks=4, max_hamming=3
+    )
+
+
+Q_PHASH_NEARDUP_SQL = """
+SELECT * FROM (VALUES
+  ('dup_img_000000', 'img_000000', 1),
+  ('dup_img_000005', 'img_000005', 3),
+  ('dup_img_000010', 'img_000010', 2),
+  ('dup_img_000015', 'img_000015', 1),
+  ('dup_img_000020', 'img_000020', 3),
+  ('dup_img_000025', 'img_000025', 2),
+  ('dup_img_000030', 'img_000030', 1),
+  ('dup_img_000035', 'img_000035', 3),
+  ('dup_img_000040', 'img_000040', 2),
+  ('dup_img_000045', 'img_000045', 1)
+) AS t(id_a, id_b, hamming)
+"""
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketed batching (round 4, image payload): image
+    metadata is synthesized deterministically from doc_id (w = 128 +
+    37·id mod 512, h = 128 + 61·id mod 512 — identical arithmetic in the
+    SQL oracle), each row is assigned its nearest aspect bucket by EXACT
+    integer cross-multiplication (no float ratios), then packed into
+    32-image batches within (bucket, md5-fold shard)."""
+    from spark_pit.operators.images import aspect_bucket_batches
+
+    meta = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 37, F.lit(512)) + 128).cast("int").alias("w"),
+        (F.pmod(F.col("doc_id") * 61, F.lit(512)) + 128).cast("int").alias("h"),
+    )
+    return aspect_bucket_batches(meta, "doc_id", "w", "h", batch_size=32, n_shards=8)
+
+
+Q_ASPECT_BUCKETS_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(((doc_id * 37) % 512) + 128 AS INT) AS w,
+         CAST(((doc_id * 61) % 512) + 128 AS INT) AS h
+  FROM documents
+),
+-- f = lcm(bucket heights)/bh = 3840/bh puts every bucket's aspect
+-- distance |w*bh - h*bw|/bh on one integer denominator
+b(bidx, bw, bh, f) AS (VALUES
+  (0, 256, 256, 15), (1, 320, 192, 20), (2, 192, 320, 12),
+  (3, 384, 128, 30), (4, 128, 384, 10)),
+scored AS (
+  SELECT m.doc_id, m.w, m.h, b.bidx, b.bw, b.bh,
+         abs(CAST(m.w AS BIGINT) * b.bh - CAST(m.h AS BIGINT) * b.bw) * b.f
+           AS score
+  FROM meta m CROSS JOIN b
+),
+best AS (
+  SELECT doc_id, w, h, bidx AS bucket_idx, bw AS bucket_w, bh AS bucket_h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score, bidx) AS rn
+  FROM scored
+),
+keyed AS (
+  SELECT doc_id, w, h, bucket_idx, bucket_w, bucket_h,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'ab1')),
+                                  1, 15)) AS BIGINT) AS fold
+  FROM best WHERE rn = 1
+),
+rn2 AS (
+  SELECT *, fold % 8 AS shard,
+         row_number() OVER (PARTITION BY bucket_idx, fold % 8
+                            ORDER BY fold, doc_id) - 1 AS r
+  FROM keyed
+)
+SELECT doc_id, w, h, bucket_idx, bucket_w, bucket_h,
+       CAST(shard AS INT) AS shard,
+       CAST(r // 32 AS BIGINT) AS batch_id,
+       CAST(r % 32 AS INT) AS slot
+FROM rn2
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (round 4): the side is a function of
+    the CONTENT hash, so exact duplicates land on one side by
+    construction — a zero-shuffle projection."""
+    from spark_pit.operators.dedup import leakage_safe_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return leakage_safe_split(
+        docs, "doc_id", text_col="text", val_frac=0.125
+    ).select("doc_id", "split")
+
+
+Q_LEAKAGE_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN CAST(concat('0x', substr(md5(concat(md5(text), 'sp1')),
+                                          1, 15)) AS BIGINT)
+                 % 1000000 < 125000
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pit.operators.dedup import exact_dedup
 
@@ -4239,11 +4373,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "bpe_token_stats": q_bpe_token_stats,
     "quantize_embeddings": q_quantize_embeddings,
+    "phash_neardup": q_phash_neardup,
+    "aspect_buckets": q_aspect_buckets,
+    "leakage_safe_split": q_leakage_safe_split,
+    "redact_pii": q_redact_pii,
+    "temperature_resample": q_temperature_resample,
     "repetition_stats": q_repetition_stats,
     "audio_checksums": q_audio_checksums,
     "frame_sample_checksums": q_frame_sample_checksums,
-    "redact_pii": q_redact_pii,
-    "temperature_resample": q_temperature_resample,
     "mean_shift": q_mean_shift,
     "affinity_clusters": q_affinity_clusters,
     "dbscan": q_dbscan,
@@ -4400,6 +4537,9 @@ ORACLES: dict[str, str] = {
     "decontaminate": Q_DECONTAMINATE_SQL,
     "redact_pii": Q_REDACT_PII_SQL,
     "temperature_resample": Q_TEMPERATURE_RESAMPLE_SQL,
+    "phash_neardup": Q_PHASH_NEARDUP_SQL,
+    "aspect_buckets": Q_ASPECT_BUCKETS_SQL,
+    "leakage_safe_split": Q_LEAKAGE_SPLIT_SQL,
     "minhash_signatures": Q_MINHASH_SQL,
     "minhash_lsh_dedup": Q_MINHASH_LSH_SQL,
     "minhash_dedup_mark": Q_MINHASH_MARK_SQL,

@@ -338,3 +338,25 @@ def test_temperature_resample_flattens_domains(spark):
     assert ids == ids_rep
     full = temperature_resample(df, "doc_id", "grp", alpha=1.0)
     assert full.count() == 1700
+
+
+def test_leakage_safe_split_dups_same_side(spark):
+    """Exact duplicates always land on one side (the side is a function
+    of content, not id); group_col mode extends this to caller-supplied
+    clusters; val fraction is roughly honored; bad arg combos raise."""
+    rows = [(i, f"unique doc number {i} with its own words") for i in range(400)]
+    rows += [(1000 + i, rows[i][1]) for i in range(50)]       # 50 exact dups
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.leakage_safe_split(df, "doc_id", text_col="text", val_frac=0.2).toPandas()
+    sides_per_text = out.groupby("text")["split"].nunique()
+    assert (sides_per_text == 1).all()
+    vf = (out["split"] == "val").mean()
+    assert 0.1 < vf < 0.35
+    by_group = dedup.leakage_safe_split(
+        df.withColumn("cl", F.col("doc_id") % 10), "doc_id", group_col="cl"
+    ).toPandas()
+    assert (by_group.groupby("cl")["split"].nunique() == 1).all()
+    with pytest.raises(ValueError):
+        dedup.leakage_safe_split(df, "doc_id")
+    with pytest.raises(ValueError):
+        dedup.leakage_safe_split(df, "doc_id", text_col="text", group_col="cl")

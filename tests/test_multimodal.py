@@ -95,3 +95,71 @@ def test_videos_audio_tables_deterministic(spark):
     a2 = audio_table(spark, n_clips=5, seed=9).orderBy("clip_id").collect()
     assert [bytes(r["bytes"]) for r in a1] == [bytes(r["bytes"]) for r in a2]
     assert all(len(bytes(r["bytes"])) == 2 * r["n_samples"] for r in a1)
+
+
+def test_phash_neardup_pigeonhole_exact(spark):
+    """Planted hamming-1/-3 pairs are found (exact recall at ≤ chunks−1);
+    a hamming-4 pair is excluded by the filter; the negative (high-bit-set)
+    hash bands correctly through the unsigned shift."""
+    import pandas as pd
+
+    from spark_pit.operators.images import phash_neardup_pairs
+
+    base = -0x123456789ABCDEF0  # high bit set
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b1),                          # hamming 1 from a
+        ("c", base ^ (0b111 << 40)),                # hamming 3 from a
+        ("d", base ^ 0b1111),                       # hamming 4 from a, 3 from b
+        ("e", 0x0F0F0F0F0F0F0F0F),                  # far from everything
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]))
+    out = phash_neardup_pairs(df, chunks=4, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    # a-d and b-c are hamming 4: banding may surface them as candidates,
+    # but the exact-hamming filter drops them
+    assert got == {("a", "b"): 1, ("a", "c"): 3, ("b", "d"): 3}
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(df, chunks=4, max_hamming=4)
+
+
+def test_aspect_bucket_batches_assignment_and_packing(spark):
+    """Known aspect ratios map to their exact-integer nearest buckets;
+    batches stay within one (bucket, shard), never exceed batch_size, and
+    the assignment is partition-layout invariant."""
+    import pandas as pd
+
+    from spark_pit.operators.images import aspect_bucket_batches
+
+    rows = [
+        ("sq", 512, 512),     # 1:1        -> bucket 0
+        ("ls", 500, 300),     # 5:3 exact  -> bucket 1 (320x192)
+        ("pt", 300, 500),     # 3:5 exact  -> bucket 2
+        ("wd", 900, 300),     # 3:1        -> bucket 3 (384x128)
+        ("tl", 100, 300),     # 1:3        -> bucket 4
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "w", "h"]))
+    out = aspect_bucket_batches(df, "id", "w", "h").toPandas().set_index("id")
+    assert list(out.loc[["sq", "ls", "pt", "wd", "tl"], "bucket_idx"]) == [0, 1, 2, 3, 4]
+    assert out.loc["ls", "bucket_w"] == 320 and out.loc["ls", "bucket_h"] == 192
+
+    many = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"i{j:03d}", 512, 512) for j in range(40)], columns=["id", "w", "h"]
+        )
+    )
+    packed = aspect_bucket_batches(
+        many, "id", "w", "h", batch_size=4, n_shards=2
+    ).toPandas()
+    sizes = packed.groupby(["bucket_idx", "shard", "batch_id"]).size()
+    assert sizes.max() <= 4 and (packed["slot"] < 4).all()
+    # only the LAST batch of a shard may be partial
+    for (_, _), grp in packed.groupby(["bucket_idx", "shard"]):
+        full = (grp.groupby("batch_id").size() == 4)
+        assert full.iloc[:-1].all()
+    again = aspect_bucket_batches(
+        many.repartition(7), "id", "w", "h", batch_size=4, n_shards=2
+    ).toPandas()
+    a = packed.sort_values("id").reset_index(drop=True)
+    b = again.sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
