@@ -325,6 +325,51 @@ def phash_neardup_pairs(
     )
 
 
+def phash_clusters(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    chunks: int = 4,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate CLUSTERS — the image-payload twin of
+    :func:`spark_pit.operators.dedup.dedup_clusters`: the pigeonhole pair
+    graph from :func:`phash_neardup_pairs` (exact recall for hamming ≤
+    chunks−1) fed to min-label connected components, so a re-encode chain
+    a~b~c co-clusters even when hamming(a, c) exceeds the radius. Every
+    image maps to ``canonical_id`` = the lexicographically-smallest image
+    id in its component (itself when unique) plus the cluster size — the
+    exact shape a dedup-before-training pass consumes (keep canonical,
+    drop the rest, or hand the cluster key to leakage_safe_split).
+
+    Scale: candidates are the 16-bit-chunk equi-join (O(k) per re-encode
+    cluster of size k after the bucket pairing — see phash_neardup_pairs),
+    the verified graph is sparse, and CC is one equi-join + one partial
+    agg per round with per-round localCheckpoint; rounds = component
+    diameter, tiny for re-encode chains. No all-pairs step anywhere."""
+    from spark_pit.operators.graph import connected_components
+
+    pairs = phash_neardup_pairs(
+        images, id_col, phash_col, chunks, max_hamming, bits
+    )
+    edges = pairs.select(
+        F.lit(0).alias("__g"), F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    comp = connected_components(edges, "__g").select(
+        F.col("node").alias(id_col), "component"
+    )
+    canon = images.select(id_col).join(comp, id_col, "left").select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("canonical_id")
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return canon.join(sizes, "canonical_id").select(
+        id_col, "canonical_id", "cluster_size"
+    )
+
+
 # (bucket_w, bucket_h) targets; ratios must be pairwise distinct.
 ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
     (256, 256), (320, 192), (192, 320), (384, 128), (128, 384),

@@ -385,3 +385,110 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         cur = F.regexp_replace(cur, pat, rep)
     return df.select(*cols, cur.alias("redacted"))
+
+
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) row per token occurrence — the shared scan shape for the
+    corpus-LM family below."""
+    return df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+
+
+def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style language-model quality filter, with the corpus itself
+    as the unigram LM (the portable stand-in for the KenLM wiki model the
+    original pipeline downloads): per document, the mean surprisal
+    −mean(ln p(tok)) where p(tok) = corpus_count(tok) / corpus_total.
+    Low mean surprisal ⇒ stopword-heavy/common text, high ⇒ rare-token
+    (often garbage) text — the standard perplexity-bucket signal for
+    pretraining-corpus filtering.
+
+    Plan: token rows → unigram partial-agg (map-side combine, one shuffle
+    on tok) → join token rows back to counts (second shuffle; AQE
+    broadcasts the count side when the vocab is small, and a hot stopword
+    key is ONE row on the build side, so skew replicates a single row,
+    never a partition) → per-doc partial agg. mean_surprisal =
+    ln(total) − avg(ln(count)), exact-integer inputs to ln; rounded to 3
+    decimals so the ≤2-ulp libm spread between engines (~1e-13 after a
+    per-doc avg) can never cross a rounding boundary."""
+    toks = _token_rows(df, id_col, text_col)
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnts.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(cnts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.log(F.first("t")) - F.avg(F.log(F.col("c"))), 3
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+def build_vocab(df: DataFrame, text_col: str, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary head — the tokenizer-training prep pass: the
+    top_n most frequent tokens with rank and cumulative corpus coverage.
+    Plan: unigram partial agg (one shuffle), then a distributed
+    TakeOrdered for the top_n (never a global sort of the vocab), then
+    rank + running coverage via a window over ONLY the top_n rows (tiny,
+    single task by construction). Ordering key (count desc, tok asc) is
+    integer/string-exact — no float ties across engines. cum_frac is an
+    exact-rational division rounded to 6."""
+    from pyspark.sql import Window
+
+    cnts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    total = cnts.agg(F.sum("n_occ").alias("t"))
+    top = cnts.orderBy(F.col("n_occ").desc(), F.col("tok")).limit(top_n)
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("tok"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("n_occ").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank", "tok", "n_occ",
+            F.round(F.col("cum") / F.col("t"), 6).alias("cum_frac"),
+        )
+    )
+
+
+def top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k characteristic terms — the keyword/topic-tag
+    pass of a corpus pipeline. Ranking key is EXACT: (tf desc, df asc,
+    tok asc) — highest in-doc count first, rarer-in-corpus breaks ties —
+    so the selected rows are bit-identical across engines; the
+    informational tfidf = tf · ln(N_docs/df) column is float and rounded
+    to 3 (≤2-ulp libm spread, never near a boundary at that grain).
+
+    Plan: (doc, tok, tf) partial agg → df per tok (second partial agg,
+    same token-hash partitioning reusable) → equi-join on tok (one-row
+    build side per token, stopword-skew safe) → per-doc top-k via
+    row_number window partitioned by doc (hash-partitioned on the doc
+    key, no global sort)."""
+    from pyspark.sql import Window
+
+    toks = _token_rows(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.countDistinct(id_col).alias("nd"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= k)
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            id_col, "term_rank", "tok", "tf", "df",
+            F.round(F.col("tf") * F.log(F.col("nd") / F.col("df")), 3)
+            .alias("tfidf"),
+        )
+    )

@@ -4311,6 +4311,149 @@ Q_IMAGE_FIDELITY_SQL = _pinned_rows_oracle(
 
 
 # Registration order is part of the driver contract: the driver's
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter (round 4): per-doc mean unigram surprisal
+    with the corpus itself as the LM — the portable stand-in for the
+    CCNet KenLM perplexity bucket. Exact-integer inputs to ln; rounded to
+    3 decimals so the ≤2-ulp libm spread between Spark's Math.log and
+    DuckDB's std::log can never cross a rounding boundary."""
+    from spark_pit.operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir), "doc_id", "text")
+
+
+Q_UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, u.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+),
+cnts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM cnts)
+SELECT doc_id, count(*) AS n_tokens,
+       round(ln(CAST((SELECT t FROM tot) AS DOUBLE)) - avg(ln(c)), 3)
+         AS mean_surprisal
+FROM toks JOIN cnts USING (tok)
+GROUP BY doc_id
+"""
+
+
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head (round 4): top-100 corpus tokens with rank and
+    cumulative coverage — tokenizer-training prep. Ordering key
+    (count desc, tok asc) is integer/string-exact; cum_frac is an
+    exact-rational division rounded to 6."""
+    from spark_pit.operators.textstats import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir), "text", top_n=100)
+
+
+Q_BUILD_VOCAB_SQL = """
+WITH cnts AS (
+  SELECT u.tok AS tok, count(*) AS n_occ
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  GROUP BY u.tok
+),
+tot AS (SELECT sum(n_occ) AS t FROM cnts),
+top AS (SELECT tok, n_occ FROM cnts ORDER BY n_occ DESC, tok LIMIT 100)
+SELECT row_number() OVER (ORDER BY n_occ DESC, tok) AS rank, tok, n_occ,
+       round(CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, tok
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT t FROM tot), 6) AS cum_frac
+FROM top
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms (round 4): ranked by the EXACT
+    key (tf desc, df asc, tok asc) — selected rows are bit-identical
+    across engines; the informational tfidf column is rounded to 3."""
+    from spark_pit.operators.textstats import top_terms
+
+    return top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+Q_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, u.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+SELECT doc_id, term_rank, tok, tf, df,
+       round(tf * ln(CAST(nd AS DOUBLE) / df), 3) AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfq.df ASC, tf.tok ASC)
+           AS term_rank
+  FROM tf JOIN dfq USING (tok)
+) s, nd
+WHERE term_rank <= 3
+"""
+
+
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-dup CLUSTERS (round 4, image payload): a planted
+    fixture with provable cluster separation. Base phash for id k is
+    k·0x01010101 — the id spread over four byte lanes of the LOW 32
+    bits, so distinct bases sit at pairwise hamming ≥ 4 > max_hamming
+    (and all bases share zeroed HIGH chunks, so the pigeonhole stage
+    emits cross-base candidates that the verify stage must reject —
+    the filter is exercised, not bypassed). Every 5th base gets two
+    perturbed copies whose (k%3)+1 bit flips live ONLY in the high 32
+    bits, at lane offsets 16 apart, so copies never cancel each other:
+    hamming(base,dup)=nflip ≤ 3 (direct edge), hamming(dup,dup2)=2·nflip
+    up to 6 — for nflip ≥ 2 only transitivity through the base
+    co-clusters the pair. Expected output is closed-form: 10 clusters of
+    3 with canonical 'dup2_'-id (lexicographic min), 40 singletons.
+    sf-independent per the pin rule."""
+    from spark_pit.operators.images import phash_clusters
+
+    base = spark.range(50).select(
+        F.format_string("img_%06d", F.col("id")).alias("image_id"),
+        (F.col("id") * F.lit(0x01010101)).cast("long").alias("phash"),
+        F.col("id").alias("k"),
+    )
+
+    def perturbed(prefix: str, off: int):
+        return (
+            base.where(F.pmod("k", F.lit(5)) == 0)
+            .withColumn("nflip", F.pmod(F.col("k"), F.lit(3)) + 1)
+            .withColumn("m0", F.expr(
+                f"shiftleft(1L, CAST(32 + pmod(k*3+{off}, 32) AS INT))"))
+            .withColumn("m1", F.expr(
+                f"CASE WHEN nflip >= 2 THEN shiftleft(1L, CAST(32 + pmod(k*3+{off}+1, 32) AS INT)) ELSE 0L END"))
+            .withColumn("m2", F.expr(
+                f"CASE WHEN nflip >= 3 THEN shiftleft(1L, CAST(32 + pmod(k*3+{off}+2, 32) AS INT)) ELSE 0L END"))
+            .select(
+                F.concat(F.lit(prefix), F.col("image_id")).alias("image_id"),
+                F.col("phash").bitwiseXOR(F.col("m0"))
+                .bitwiseXOR(F.col("m1")).bitwiseXOR(F.col("m2")).alias("phash"),
+            )
+        )
+
+    allimgs = (
+        base.select("image_id", "phash")
+        .union(perturbed("dup_", 0))
+        .union(perturbed("dup2_", 16))
+    )
+    return phash_clusters(allimgs, chunks=4, max_hamming=3)
+
+
+Q_PHASH_CLUSTERS_SQL = """
+WITH ids AS (SELECT printf('img_%06d', i) AS id, i FROM range(50) t(i))
+SELECT id AS image_id,
+       CASE WHEN i % 5 = 0 THEN 'dup2_' || id ELSE id END AS canonical_id,
+       CAST(CASE WHEN i % 5 = 0 THEN 3 ELSE 1 END AS BIGINT) AS cluster_size
+FROM ids
+UNION ALL
+SELECT 'dup_' || id, 'dup2_' || id, CAST(3 AS BIGINT) FROM ids WHERE i % 5 = 0
+UNION ALL
+SELECT 'dup2_' || id, 'dup2_' || id, CAST(3 AS BIGINT) FROM ids WHERE i % 5 = 0
+"""
+
+
 # correctness gate evaluates only the FIRST 50 entries (judge round-1
 # diagnosis). Round-3 rotation (judge round-2 ask #2): the window now
 # Registry ordering IS the driver window: the driver checks the FIRST 50
@@ -4343,6 +4486,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aaindex_multi": q_aaindex_multi,
     "ivf_topk_checksums": q_ivf_topk_checksums,
     "bisecting_checksums": q_bisecting_checksums,
+    # --- round-4 corpus-hygiene / corpus-LM additions (never certified;
+    # dup_ngram_stats + decontaminate were accidentally registered at
+    # 107-108, outside every window — moved up before first certification)
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "decontaminate": q_decontaminate,
+    "unigram_surprisal": q_unigram_surprisal,
+    "build_vocab": q_build_vocab,
+    "top_terms": q_top_terms,
+    "phash_clusters": q_phash_clusters,
     # --- highest-value operators (r02/r03-green, re-certified)
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_mark": q_minhash_dedup_mark,
@@ -4353,8 +4505,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_asof_parity": q_streaming_asof_parity,
     "streaming_session_parity": q_streaming_session_parity,
     "shell_composition_3d": q_shell_composition_3d,
-    "betweenness": q_betweenness,
-    "closeness_centrality": q_closeness_centrality,
     "kmeans_fixture": q_kmeans_fixture,
     "bisecting_fixture": q_bisecting_fixture,
     "agglomerative_fixture": q_agglomerative_fixture,
@@ -4368,11 +4518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_checksums": q_phash_checksums,
     "pic_clusters": q_pic_clusters,
     "image_fidelity": q_image_fidelity,
-    "ksc_triad": q_ksc_triad,
-    "ctriad_minmax": q_ctriad_minmax,
     "stratified_sample": q_stratified_sample,
-    "bpe_token_stats": q_bpe_token_stats,
-    "quantize_embeddings": q_quantize_embeddings,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
     "leakage_safe_split": q_leakage_safe_split,
@@ -4387,6 +4533,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_inclusive": q_asof_join_inclusive,
     "lambda_tuples": q_lambda_tuples,
     # --- 51+: green overflow (driver rows exist in CORRECTNESS_r02/_r03)
+    "betweenness": q_betweenness,
+    "closeness_centrality": q_closeness_centrality,
+    "ksc_triad": q_ksc_triad,
+    "ctriad_minmax": q_ctriad_minmax,
+    "bpe_token_stats": q_bpe_token_stats,
+    "quantize_embeddings": q_quantize_embeddings,
     "surface_depth": q_surface_depth,
     "half_exposure": q_half_exposure,
     "minmax": q_minmax,
@@ -4535,6 +4687,10 @@ ORACLES: dict[str, str] = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dup_ngram_stats": Q_DUP_NGRAM_STATS_SQL,
     "decontaminate": Q_DECONTAMINATE_SQL,
+    "unigram_surprisal": Q_UNIGRAM_SURPRISAL_SQL,
+    "build_vocab": Q_BUILD_VOCAB_SQL,
+    "top_terms": Q_TOP_TERMS_SQL,
+    "phash_clusters": Q_PHASH_CLUSTERS_SQL,
     "redact_pii": Q_REDACT_PII_SQL,
     "temperature_resample": Q_TEMPERATURE_RESAMPLE_SQL,
     "phash_neardup": Q_PHASH_NEARDUP_SQL,

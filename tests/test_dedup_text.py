@@ -360,3 +360,49 @@ def test_leakage_safe_split_dups_same_side(spark):
         dedup.leakage_safe_split(df, "doc_id")
     with pytest.raises(ValueError):
         dedup.leakage_safe_split(df, "doc_id", text_col="text", group_col="cl")
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Corpus counts a=2 b=2 c=1, total=5: doc1 = ln5 − ln2 = 0.916,
+    doc2 = ln5 − (ln2+ln1)/2 = 1.263."""
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "a a b"), (2, "b c")], columns=["doc_id", "text"])
+    )
+    out = (
+        textstats.unigram_surprisal(df, "doc_id", "text")
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "n_tokens"] == 3 and out.loc[2, "n_tokens"] == 2
+    assert out.loc[1, "mean_surprisal"] == pytest.approx(0.916)
+    assert out.loc[2, "mean_surprisal"] == pytest.approx(1.263)
+
+
+def test_build_vocab_rank_and_coverage(spark):
+    """Tie on count breaks by token asc; cum_frac is cumulative over the
+    full corpus total (5 tokens)."""
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "a a b"), (2, "b c")], columns=["doc_id", "text"])
+    )
+    out = textstats.build_vocab(df, "text", top_n=2).toPandas()
+    assert list(out["rank"]) == [1, 2]
+    assert list(out["tok"]) == ["a", "b"]
+    assert list(out["n_occ"]) == [2, 2]
+    assert list(out["cum_frac"]) == [0.4, 0.8]
+
+
+def test_top_terms_exact_ranking_key(spark):
+    """tf desc first; tf tie breaks by df asc (rarer-in-corpus wins);
+    tfidf = tf·ln(N/df)."""
+    import math
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "x x y"), (2, "y z")], columns=["doc_id", "text"])
+    )
+    out = textstats.top_terms(df, "doc_id", "text", k=2).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("term_rank")
+    d2 = out[out.doc_id == 2].sort_values("term_rank")
+    assert list(d1["tok"]) == ["x", "y"]
+    assert list(d2["tok"]) == ["z", "y"]          # df(z)=1 < df(y)=2 on tf tie
+    assert d1.iloc[0]["tfidf"] == pytest.approx(round(2 * math.log(2), 3))
+    assert d2.iloc[0]["tfidf"] == pytest.approx(round(math.log(2), 3))
+    assert (out[out.tok == "y"]["tfidf"] == 0.0).all()

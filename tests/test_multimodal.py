@@ -163,3 +163,29 @@ def test_aspect_bucket_batches_assignment_and_packing(spark):
     a = packed.sort_values("id").reset_index(drop=True)
     b = again.sort_values("id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_phash_clusters_transitive_chain(spark):
+    """b and c are each within hamming 2 of a but hamming 4 of each other
+    — only transitivity through a co-clusters them; canonical is the
+    lexicographic min id; z stays a singleton."""
+    import pandas as pd
+
+    from spark_pit.operators.images import phash_clusters
+
+    base = 0x5A5A5A5A5A5A5A5A
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b11),                # hamming 2 from a
+        ("c", base ^ (0b11 << 10)),        # hamming 2 from a, 4 from b
+        ("z", ~base & 0xFFFFFFFFFFFFFFFF - 2**63 * 0),
+    ]
+    rows[3] = ("z", base ^ -1)             # bitwise-not: hamming 64 from a
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]))
+    out = phash_clusters(df, chunks=4, max_hamming=3).toPandas().set_index("image_id")
+    assert set(out.index) == {"a", "b", "c", "z"}
+    assert out.loc["a", "canonical_id"] == "a"
+    assert out.loc["b", "canonical_id"] == "a"
+    assert out.loc["c", "canonical_id"] == "a"
+    assert out.loc["z", "canonical_id"] == "z"
+    assert out.loc["b", "cluster_size"] == 3 and out.loc["z", "cluster_size"] == 1
