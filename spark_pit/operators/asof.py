@@ -81,6 +81,108 @@ def asof_join_window(
     return unioned.where(F.col(_TAG) == left_tag).drop(_TAG, _SEQ)
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_us: int,
+    prefix: str = "asof_",
+    right_order: str | None = None,
+) -> DataFrame:
+    """Nearest-snapshot as-of join — ``pd.merge_asof(direction='nearest',
+    tolerance=...)`` semantics, the third PIT mode alongside strict-before
+    and at-or-before: each left row matches the right row minimizing
+    ``|right_ts − left_ts|`` among rows within ``tolerance_us``
+    microseconds; an equidistant past/future tie prefers the PAST (the
+    leakage-lenient mode is for label/feature alignment where both
+    directions are legal — sensor fusion, nearest-calibration lookup — so
+    the tie rule mirrors the backward-looking default).
+
+    Snapshots are first deduped to one row per ``(key, right_ts)`` instant
+    (the ``right_order``-max row wins, matching the other modes' "latest
+    in right_order" rule) so both directions arbitrate over the same
+    candidate. Plan: one partial-agg shuffle on the (small) snapshot side,
+    then ONE union + ONE (key, ts) sort under a single Window exchange
+    carrying a backward struct (``last ignorenulls``, frame up-to-current)
+    and a forward struct (``first ignorenulls``, frame after-current —
+    right rows at the exact left instant sort before the left row, so the
+    forward frame is strictly-after by construction); arbitration is a
+    columnar CASE over the two carried structs. No Python, no second
+    shuffle of the event stream.
+
+    Returns all left rows + ``{prefix}{c}``, ``{prefix}ts``,
+    ``{prefix}diff_us`` (unsigned distance) and ``{prefix}dir``
+    ('backward' / 'forward', null when unmatched)."""
+    right_tag, left_tag = 0, 1
+    seq = (F.col(right_order) if right_order else F.lit(0)).cast("long")
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    # one snapshot per (key, instant): right_order-max row wins
+    rdedup = (
+        right.groupBy(*on, right_ts)
+        .agg(F.max(F.struct(seq.alias("__seq"), payload.alias("p"))).alias("m"))
+        .select(*on, F.col(right_ts), F.col("m.p").alias("__p"))
+    )
+
+    lhs = left.withColumn("__tag", F.lit(left_tag)).withColumn(
+        "__p", F.lit(None).cast(rdedup.schema["__p"].dataType)
+    )
+    rhs = rdedup.select(
+        *on,
+        F.col(right_ts).alias(left_ts),
+        F.lit(right_tag).alias("__tag"),
+        "__p",
+    )
+    for f in left.schema.fields:
+        if f.name not in on and f.name != left_ts:
+            rhs = rhs.withColumn(f.name, F.lit(None).cast(f.dataType))
+    rhs = rhs.select(*lhs.columns)
+
+    order = [F.col(left_ts).asc(), F.col("__tag").asc()]
+    wb = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    u = (
+        lhs.unionByName(rhs)
+        .withColumn("__b", F.last("__p", ignorenulls=True).over(wb))
+        .withColumn("__f", F.first("__p", ignorenulls=True).over(wf))
+        .where(F.col("__tag") == left_tag)
+    )
+    from spark_pit.util import ts_us as _us
+
+    lus = _us(F.col(left_ts))
+    bdiff = lus - _us(F.col("__b.__rts"))
+    fdiff = _us(F.col("__f.__rts")) - lus
+    b_ok = F.col("__b").isNotNull() & (bdiff <= F.lit(tolerance_us))
+    f_ok = F.col("__f").isNotNull() & (fdiff <= F.lit(tolerance_us))
+    pick_b = b_ok & (~f_ok | (bdiff <= fdiff))
+    chosen = F.when(pick_b, F.col("__b")).when(f_ok, F.col("__f"))
+    out = (
+        u.withColumn("__c", chosen)
+        .withColumn(
+            f"{prefix}dir",
+            F.when(pick_b, F.lit("backward")).when(f_ok, F.lit("forward")),
+        )
+        .withColumn(
+            f"{prefix}diff_us",
+            F.when(pick_b, bdiff).when(f_ok, fdiff).cast("long"),
+        )
+    )
+    for c in value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col(f"__c.{c}"))
+    return out.withColumn(f"{prefix}ts", F.col("__c.__rts")).drop(
+        "__tag", "__p", "__b", "__f", "__c"
+    )
+
+
 def asof_join_cursor(
     left: DataFrame,
     right: DataFrame,

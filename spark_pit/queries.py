@@ -113,6 +113,66 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-within-tolerance PIT mode (round 4): pd.merge_asof
+    direction='nearest' semantics — each event takes the closest purchase
+    snapshot within ±15 min, equidistant ties prefer the past, snapshots
+    deduped per instant (max snapshot_id wins). One snapshot-side partial
+    agg + ONE union/window sort; all integer-microsecond arithmetic, so
+    the arbitration is bit-exact across engines."""
+    from spark_pit.operators.asof import asof_join_nearest
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = asof_join_nearest(
+        ev, _snaps(spark, sf_dir), ["user_id"], "ts", "snapshot_ts",
+        ["snapshot_id", "snap_value"], tolerance_us=900_000_000,
+        right_order="snapshot_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_us("ts").alias("ts_us"),
+        F.col("asof_snapshot_id"),
+        F.round("asof_snap_value", 6).alias("asof_snap_value"),
+        ts_us("asof_ts").alias("asof_ts_us"),
+        F.col("asof_diff_us"),
+        F.col("asof_dir"),
+    )
+
+
+Q_ASOF_NEAREST_SQL = f"""
+WITH snaps0 AS ({_SNAPS_SQL}),
+dedup AS (
+  SELECT user_id, snapshot_ts, snapshot_id, snap_value
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, snapshot_ts ORDER BY snapshot_id DESC) AS drn
+    FROM snaps0)
+  WHERE drn = 1
+),
+ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, s.snapshot_id, s.snapshot_ts, s.snap_value,
+         abs(epoch_us(e.ts) - epoch_us(s.snapshot_ts)) AS diff_us,
+         CASE WHEN s.snapshot_ts <= e.ts THEN 0 ELSE 1 END AS fwd,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY abs(epoch_us(e.ts) - epoch_us(s.snapshot_ts)) ASC,
+                    CASE WHEN s.snapshot_ts <= e.ts THEN 0 ELSE 1 END ASC) AS rn
+  FROM events e
+  LEFT JOIN dedup s ON e.user_id = s.user_id
+    AND abs(epoch_us(e.ts) - epoch_us(s.snapshot_ts)) <= 900000000
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       snapshot_id AS asof_snapshot_id,
+       round(snap_value, 6) AS asof_snap_value,
+       epoch_us(snapshot_ts) AS asof_ts_us,
+       CAST(diff_us AS BIGINT) AS asof_diff_us,
+       CASE WHEN snapshot_ts IS NULL THEN NULL
+            WHEN fwd = 0 THEN 'backward' ELSE 'forward' END AS asof_dir
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     out = windows.with_lag_lead(ev, "user_id", "ts", ["value"], [1, 2], tiebreak="event_id")
@@ -4495,6 +4555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "build_vocab": q_build_vocab,
     "top_terms": q_top_terms,
     "phash_clusters": q_phash_clusters,
+    "asof_join_nearest": q_asof_join_nearest,
     # --- highest-value operators (r02/r03-green, re-certified)
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_mark": q_minhash_dedup_mark,
@@ -4518,7 +4579,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_checksums": q_phash_checksums,
     "pic_clusters": q_pic_clusters,
     "image_fidelity": q_image_fidelity,
-    "stratified_sample": q_stratified_sample,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
     "leakage_safe_split": q_leakage_safe_split,
@@ -4533,6 +4593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_inclusive": q_asof_join_inclusive,
     "lambda_tuples": q_lambda_tuples,
     # --- 51+: green overflow (driver rows exist in CORRECTNESS_r02/_r03)
+    "stratified_sample": q_stratified_sample,
     "betweenness": q_betweenness,
     "closeness_centrality": q_closeness_centrality,
     "ksc_triad": q_ksc_triad,
@@ -4612,6 +4673,7 @@ ORACLES: dict[str, str] = {
     "pit_salted": Q_PIT_FUSED_SQL,
     "asof_join": Q_ASOF_SQL,
     "asof_join_inclusive": Q_ASOF_INCLUSIVE_SQL,
+    "asof_join_nearest": Q_ASOF_NEAREST_SQL,
     "lag_lead": Q_LAG_LEAD_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "backfill": Q_BACKFILL_SQL,

@@ -124,3 +124,81 @@ def test_zero_temporal_leakage(spark, sf_dir):
     b = pert["asof_snap_value"].to_numpy(dtype=float)
     assert np.array_equal(np.isnan(a), np.isnan(b))
     assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+
+def test_asof_nearest_directions_tolerance_and_ties(spark):
+    """Nearest mode: backward/forward arbitration by absolute distance,
+    tolerance exclusion, equidistant tie -> backward, same-instant dedup
+    -> max right_order wins, keyless entity -> null."""
+    from spark_pit.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1, 1, 2],
+                "eid": [1, 2, 3, 4, 9, 5],
+                "ts": [_t(10), _t(14), _t(30), _t(50), _t(12), _t(10)],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1],
+                "sid": [100, 101, 102, 103],
+                "sts": [_t(8), _t(8), _t(16), _t(40)],
+                "v": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    out = (
+        asof_join_nearest(
+            left, right, ["k"], "ts", "sts", ["sid", "v"],
+            tolerance_us=6_000_000, right_order="sid",
+        )
+        .toPandas()
+        .set_index("eid")
+    )
+    # duplicate instant t(8): sid=101 (max right_order) carries its v=2.0
+    assert out.loc[1, "asof_sid"] == 101 and out.loc[1, "asof_v"] == 2.0
+    assert out.loc[1, "asof_dir"] == "backward"
+    assert out.loc[2, "asof_sid"] == 102 and out.loc[2, "asof_dir"] == "forward"
+    assert out.loc[2, "asof_diff_us"] == 2_000_000
+    # both neighbors beyond tolerance
+    assert pd.isna(out.loc[3, "asof_sid"]) and pd.isna(out.loc[3, "asof_dir"])
+    assert pd.isna(out.loc[4, "asof_sid"])
+    # equidistant (8 vs 16 around 12) -> backward preferred
+    assert out.loc[9, "asof_sid"] == 101 and out.loc[9, "asof_dir"] == "backward"
+    # entity with no snapshots
+    assert pd.isna(out.loc[5, "asof_sid"])
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Randomized parity with pd.merge_asof(direction='nearest',
+    tolerance=...) on a single entity (pandas breaks equidistant ties
+    backward too — Timedelta semantics)."""
+    from spark_pit.operators.asof import asof_join_nearest
+
+    rng = np.random.default_rng(7)
+    lts = np.sort(rng.choice(np.arange(0, 5000), size=120, replace=False))
+    rts = np.sort(rng.choice(np.arange(0, 5000), size=40, replace=False))
+    lpd = pd.DataFrame({"k": 1, "eid": np.arange(120), "ts": [_t(int(s)) for s in lts]})
+    rpd = pd.DataFrame({"k": 1, "sid": np.arange(40), "sts": [_t(int(s)) for s in rts]})
+    tol_s = 60
+    want = pd.merge_asof(
+        lpd, rpd.rename(columns={"sts": "ts"}), on="ts", by="k",
+        direction="nearest", tolerance=pd.Timedelta(seconds=tol_s),
+    )
+    got = (
+        asof_join_nearest(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            ["k"], "ts", "sts", ["sid"], tolerance_us=tol_s * 1_000_000,
+        )
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(
+        want["sid"].to_numpy(dtype=float), got["asof_sid"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
