@@ -441,3 +441,65 @@ def knn_label_fractions_ann(
     return topk.groupBy("qid", "nlabel").agg(
         (F.count(F.lit(1)) / F.lit(float(k))).alias("frac")
     )
+
+
+def farthest_point_sample(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity sampling — the coreset
+    selection pass of a training-data pipeline (pick k maximally-spread
+    exemplars; 2-approximation to the k-center optimum). Seed = the
+    minimum id; each subsequent pick maximizes the squared euclidean
+    distance to the already-chosen set, ties broken toward the smaller id
+    — a fully deterministic trace.
+
+    Scale shape: the chosen set is O(k) and lives on the driver
+    (broadcast into literals); the per-point min-distance column is
+    maintained INCREMENTALLY (``least(mind, dist²_to_newest)``), so each
+    of the k rounds is one scan + one partial-agg argmax reduce — O(n·k·d)
+    total work, no shuffle of the corpus, no pairwise blowup. The argmax
+    reduce carries (dist, −id, vec) in ONE struct-max aggregate so the
+    newest exemplar's vector arrives with the same job. Per-round
+    ``localCheckpoint`` caps lineage (the connected-components pattern).
+    Distances are sequential JVM folds (zip_with + aggregate) —
+    deterministic summation order, exact when coordinates are integers.
+
+    Returns the k-row selection trace: (sel_rank 1..k, id, dist2 = the
+    squared distance that won the pick; null for the seed)."""
+    spark = df.sparkSession
+    cur = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+
+    def d2(vec_literal):
+        arr = F.array(*[F.lit(float(x)) for x in vec_literal])
+        return F.aggregate(
+            F.zip_with(F.col("__v"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    seed = cur.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    chosen = [(1, seed[id_col], None)]
+    work = cur.where(F.col(id_col) != seed[id_col]).withColumn(
+        "__mind", d2(seed["__v"])
+    )
+    for r in range(2, k + 1):
+        work = work.localCheckpoint(eager=False)
+        row = work.agg(
+            F.max(
+                F.struct(
+                    F.col("__mind").alias("d"),
+                    (-F.col(id_col).cast("long")).alias("nid"),
+                    F.col("__v").alias("v"),
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        nid = -row["nid"]
+        chosen.append((r, nid, float(row["d"])))
+        work = work.where(F.col(id_col) != nid).withColumn(
+            "__mind", F.least(F.col("__mind"), d2(row["v"]))
+        )
+    out = spark.createDataFrame(
+        [(int(a), int(b), c) for a, b, c in chosen],
+        schema="sel_rank long, " + id_col + " long, dist2 double",
+    )
+    return out

@@ -4370,6 +4370,43 @@ Q_IMAGE_FIDELITY_SQL = _pinned_rows_oracle(
 )
 
 
+def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity sampling (round 4):
+    coreset selection for training data. Planted integer fixture — 4
+    cluster corners on a 1000-grid plus deterministic modular jitter —
+    whose greedy trace is closed-form: the 4 corners are picked first
+    (inter-cluster distances ~10⁶ dominate), then jitter-scale points;
+    all squared distances are exact integers in double, so the trace is
+    bit-deterministic and the oracle pins it literally. Engine: O(n·k·d)
+    — k rounds of one scan + one struct-max reduce over an incrementally
+    maintained min-distance column; no corpus shuffle, no pair blowup."""
+    from spark_pit.operators.similarity import farthest_point_sample
+
+    pts = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            ((F.col("id") % 4) % 2) * 1000 + ((F.col("id") / 4).cast("long") * 7) % 13,
+            ((F.col("id") % 4) / 2).cast("long") * 1000
+            + ((F.col("id") / 4).cast("long") * 11) % 17,
+        ).cast("array<double>").alias("vec"),
+    )
+    return farthest_point_sample(pts, "vec_id", "vec", k=8)
+
+
+Q_DIVERSE_SAMPLE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)),
+  (2, 39, 2050317.0),
+  (3, 45, 1024145.0),
+  (4, 18, 1018097.0),
+  (5, 12, 320.0),
+  (6, 3, 317.0),
+  (7, 25, 250.0),
+  (8, 46, 164.0)
+) AS t(sel_rank, vec_id, dist2)
+"""
+
+
 # Registration order is part of the driver contract: the driver's
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality filter (round 4): per-doc mean unigram surprisal
@@ -4556,6 +4593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms": q_top_terms,
     "phash_clusters": q_phash_clusters,
     "asof_join_nearest": q_asof_join_nearest,
+    "diverse_sample": q_diverse_sample,
     # --- highest-value operators (r02/r03-green, re-certified)
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_mark": q_minhash_dedup_mark,
@@ -4578,7 +4616,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_stats_checksums": q_decode_stats_checksums,
     "phash_checksums": q_phash_checksums,
     "pic_clusters": q_pic_clusters,
-    "image_fidelity": q_image_fidelity,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
     "leakage_safe_split": q_leakage_safe_split,
@@ -4594,6 +4631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lambda_tuples": q_lambda_tuples,
     # --- 51+: green overflow (driver rows exist in CORRECTNESS_r02/_r03)
     "stratified_sample": q_stratified_sample,
+    "image_fidelity": q_image_fidelity,
     "betweenness": q_betweenness,
     "closeness_centrality": q_closeness_centrality,
     "ksc_triad": q_ksc_triad,
@@ -4674,6 +4712,7 @@ ORACLES: dict[str, str] = {
     "asof_join": Q_ASOF_SQL,
     "asof_join_inclusive": Q_ASOF_INCLUSIVE_SQL,
     "asof_join_nearest": Q_ASOF_NEAREST_SQL,
+    "diverse_sample": Q_DIVERSE_SAMPLE_SQL,
     "lag_lead": Q_LAG_LEAD_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "backfill": Q_BACKFILL_SQL,

@@ -135,3 +135,27 @@ def test_knn_ann_recall_vs_exact(spark, sf_dir):
     assert (per_q <= 1.0 + 1e-9).all()
     # aggregate recall of top-k mass above 60% with 7 probes of 64 buckets
     assert per_q.sum() / len(exact.groupby("qid")) > 0.6
+
+
+def test_farthest_point_sample_line_and_ties(spark):
+    """On a 1-D line {0, 1, 10, 20} (k=3): seed=min id (point 0), then the
+    far end (20), then the midpoint maximizing min-dist (10: min(100,100)
+    beats 1: min(1,361)). A symmetric tie prefers the smaller id."""
+    import pandas as pd
+
+    from spark_pit.operators.similarity import farthest_point_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2, 3], "vec": [[0.0], [1.0], [10.0], [20.0]]})
+    )
+    out = farthest_point_sample(df, "vec_id", "vec", k=3).toPandas()
+    assert list(out["vec_id"]) == [0, 3, 2]
+    assert pd.isna(out["dist2"][0]) and list(out["dist2"][1:]) == [400.0, 100.0]
+
+    # two equidistant candidates (-5 and +5 around seed 0) -> smaller id
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2], "vec": [[0.0], [5.0], [-5.0]]})
+    )
+    out2 = farthest_point_sample(df2, "vec_id", "vec", k=2).toPandas()
+    assert list(out2["vec_id"]) == [0, 1]
+    assert out2["dist2"][1] == 25.0
