@@ -128,3 +128,73 @@ def property_channels(
         for tbl in tables.values()
     ]
     return df.withColumn(out, F.array(*slots))
+
+
+def robust_quantiles(
+    df: DataFrame, entity: str, col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-entity exact linear-interpolated quantiles — the robust-scaling
+    statistics pass (median/IQR feature normalization). Cross-engine
+    determinism: the value is first quantized to int64 nano-units
+    (floor(x·1e9 + 0.5) — the repo's mean_shift/surface_depth_3d rule), so
+    both engines interpolate h = p·(n−1) between exact-integer neighbors:
+    with p in quarters the fractional part g is a tiny dyadic and
+    (b−a)·g is exact in double; the final /1e9 + round(6) is the same
+    single operation on both sides. One partial-agg shuffle on the entity
+    key (Spark percentile = sort-based exact agg, map-side partials)."""
+    nano = F.floor(F.col(col) * 1e9 + F.lit(0.5)).cast("long")
+    q = F.percentile(nano, F.array(*[F.lit(p) for p in probs]))
+    agg = df.groupBy(entity).agg(
+        F.count(col).alias("n"), q.alias("__q")
+    )
+    sel = [F.col(entity), F.col("n")]
+    for i, p in enumerate(probs):
+        name = f"p{int(round(p * 100)):02d}"
+        sel.append(F.round(F.col("__q")[i] / 1e9, 6).alias(name))
+    return agg.select(*sel)
+
+
+def winsorize_stats(
+    df: DataFrame, entity: str, col: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Per-entity winsorized mean — outlier-robust feature aggregation.
+    Bounds are RANK-BASED (the ceil(p·n)-th smallest value, no
+    interpolation) so they are exact elements; clipping then happens in
+    int64 nano-units and the winsorized mean is an exact-integer sum over
+    count, rounded to 6 — bit-identical across engines and partition
+    layouts regardless of summation order.
+
+    Plan: one (entity, value) sort under a row_number window, a per-entity
+    conditional min/max partial agg picks both bound elements in the SAME
+    pass (no second shuffle: the agg key equals the window partition key,
+    so Catalyst reuses the exchange), then the bounds join back onto the
+    entity stream (broadcastable: one row per entity) for the clip+sum."""
+    nano = F.floor(F.col(col) * 1e9 + F.lit(0.5)).cast("long")
+    base = df.where(F.col(col).isNotNull()).select(
+        F.col(entity), nano.alias("__v")
+    )
+    w = Window.partitionBy(entity).orderBy(F.col("__v").asc())
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(entity))
+    )
+    klo = F.greatest(F.ceil(F.lit(lo) * F.col("__n")), F.lit(1))
+    khi = F.greatest(F.ceil(F.lit(hi) * F.col("__n")), F.lit(1))
+    bounds = (
+        ranked.groupBy(entity)
+        .agg(
+            F.max(F.when(F.col("__rn") == klo, F.col("__v"))).alias("__blo"),
+            F.max(F.when(F.col("__rn") == khi, F.col("__v"))).alias("__bhi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    clipped = base.join(bounds, entity).select(
+        F.col(entity), F.col("n"), F.col("__blo"), F.col("__bhi"),
+        F.greatest(F.col("__blo"), F.least(F.col("__bhi"), F.col("__v"))).alias("__c"),
+    )
+    return clipped.groupBy(entity).agg(
+        F.first("n").alias("n"),
+        F.round(F.first("__blo") / 1e9, 6).alias("lo_bound"),
+        F.round(F.first("__bhi") / 1e9, 6).alias("hi_bound"),
+        F.round(F.sum("__c") / F.first("n") / 1e9, 6).alias("winsorized_mean"),
+    )

@@ -4407,6 +4407,68 @@ SELECT * FROM (VALUES
 """
 
 
+def q_robust_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity exact interpolated quartiles (round 4): the
+    robust-scaling statistics pass. int64 nano-unit quantization makes
+    h = p·(n−1) interpolation exact-dyadic in BOTH engines (Spark's
+    a·(1−g)+b·g and DuckDB's a+(b−a)·g are the same exact rational when
+    a, b are integers and g is a quarter), so the /1e9 + round(6) is
+    bit-identical. One partial-agg shuffle."""
+    from spark_pit.operators.encode import robust_quantiles
+
+    return robust_quantiles(_ev(spark, sf_dir), "user_id", "value")
+
+
+Q_ROBUST_QUANTILES_SQL = """
+SELECT user_id, count(value) AS n,
+       round(quantile_cont(CAST(floor(value * 1e9 + 0.5) AS BIGINT), 0.25) / 1e9, 6) AS p25,
+       round(quantile_cont(CAST(floor(value * 1e9 + 0.5) AS BIGINT), 0.50) / 1e9, 6) AS p50,
+       round(quantile_cont(CAST(floor(value * 1e9 + 0.5) AS BIGINT), 0.75) / 1e9, 6) AS p75
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity winsorized mean (round 4): rank-based [p05, p95] bounds
+    (exact elements, no interpolation), int64 nano clipping, and an
+    exact-integer sum / count — summation-order-independent, so
+    bit-identical across engines and partition layouts."""
+    from spark_pit.operators.encode import winsorize_stats
+
+    return winsorize_stats(_ev(spark, sf_dir), "user_id", "value")
+
+
+Q_WINSORIZE_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(floor(value * 1e9 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM base
+),
+bounds AS (
+  SELECT user_id,
+         max(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                  THEN v END) AS blo,
+         max(CASE WHEN rn = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                  THEN v END) AS bhi,
+         count(*) AS n
+  FROM ranked GROUP BY user_id
+)
+SELECT b.user_id, b.n,
+       round(b.blo / 1e9, 6) AS lo_bound,
+       round(b.bhi / 1e9, 6) AS hi_bound,
+       round(sum(greatest(b.blo, least(b.bhi, base.v))) / b.n / 1e9, 6)
+         AS winsorized_mean
+FROM base JOIN bounds b USING (user_id)
+GROUP BY b.user_id, b.n, b.blo, b.bhi
+"""
+
+
 # Registration order is part of the driver contract: the driver's
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality filter (round 4): per-doc mean unigram surprisal
@@ -4594,6 +4656,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_clusters": q_phash_clusters,
     "asof_join_nearest": q_asof_join_nearest,
     "diverse_sample": q_diverse_sample,
+    "robust_quantiles": q_robust_quantiles,
+    "winsorize_stats": q_winsorize_stats,
     # --- highest-value operators (r02/r03-green, re-certified)
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_mark": q_minhash_dedup_mark,
@@ -4614,8 +4678,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mllib_recall": q_ann_mllib_recall,
     "embed_checksums": q_embed_checksums,
     "decode_stats_checksums": q_decode_stats_checksums,
-    "phash_checksums": q_phash_checksums,
-    "pic_clusters": q_pic_clusters,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
     "leakage_safe_split": q_leakage_safe_split,
@@ -4632,6 +4694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51+: green overflow (driver rows exist in CORRECTNESS_r02/_r03)
     "stratified_sample": q_stratified_sample,
     "image_fidelity": q_image_fidelity,
+    "phash_checksums": q_phash_checksums,
+    "pic_clusters": q_pic_clusters,
     "betweenness": q_betweenness,
     "closeness_centrality": q_closeness_centrality,
     "ksc_triad": q_ksc_triad,
@@ -4713,6 +4777,8 @@ ORACLES: dict[str, str] = {
     "asof_join_inclusive": Q_ASOF_INCLUSIVE_SQL,
     "asof_join_nearest": Q_ASOF_NEAREST_SQL,
     "diverse_sample": Q_DIVERSE_SAMPLE_SQL,
+    "robust_quantiles": Q_ROBUST_QUANTILES_SQL,
+    "winsorize_stats": Q_WINSORIZE_SQL,
     "lag_lead": Q_LAG_LEAD_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "backfill": Q_BACKFILL_SQL,

@@ -277,3 +277,41 @@ def test_tsne_sample_separates_blobs(spark):
     out2 = tsne_sample(df, "vid", "emb", n_sample=60, n_iter=250, seed=42).toPandas()
     assert out.sort_values("vid").reset_index(drop=True).equals(
         out2.sort_values("vid").reset_index(drop=True))
+
+
+def test_robust_quantiles_hand_computed(spark):
+    """{1,2,3,4}: p25 = 1.75 (h=0.75 between 1 and 2), p50 = 2.5,
+    p75 = 3.25; odd-count entity {10,20,30}: exact elements."""
+    import pandas as pd
+
+    from spark_pit.operators.encode import robust_quantiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 2, 2, 2],
+            "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0],
+        })
+    )
+    out = robust_quantiles(df, "user_id", "v").toPandas().set_index("user_id")
+    assert out.loc[1, "n"] == 4
+    assert (out.loc[1, ["p25", "p50", "p75"]] == [1.75, 2.5, 3.25]).all()
+    assert (out.loc[2, ["p25", "p50", "p75"]] == [15.0, 20.0, 25.0]).all()
+
+
+def test_winsorize_stats_clips_outlier(spark):
+    """10 values 1..9 + outlier 1000: ceil(.05*10)=1 -> lo bound 1,
+    ceil(.95*10)=10 -> wait, rank 10 IS the outlier; use 20 values so the
+    bound excludes it: 19 ones..19s + 1000 -> hi bound = rank 19 value."""
+    import pandas as pd
+
+    from spark_pit.operators.encode import winsorize_stats
+
+    vals = [float(i) for i in range(1, 20)] + [1000.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"user_id": 1, "v": vals})
+    )
+    out = winsorize_stats(df, "user_id", "v").toPandas().iloc[0]
+    assert out["n"] == 20
+    assert out["lo_bound"] == 1.0 and out["hi_bound"] == 19.0
+    # clipped sum = sum(1..19) + 19 = 190 + 19 = 209 -> mean 10.45
+    assert out["winsorized_mean"] == 10.45
