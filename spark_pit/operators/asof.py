@@ -183,6 +183,64 @@ def asof_join_nearest(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = True,
+    prefix: str = "next_",
+    right_order: str | None = None,
+) -> DataFrame:
+    """Forward (lookahead) as-of join — each left row matches the EARLIEST
+    right row with ``right_ts > left_ts`` (strict, default) or ``>=``.
+    This is the LABEL-generation mirror of the backward PIT join:
+    "time-to-next-purchase", "next snapshot after the event" targets —
+    kept as a separate operator (never fused into the feature path) so
+    the leakage direction of every column is explicit in the plan.
+
+    Same single union + (key, ts) sort shape as ``asof_join_window``:
+    the match is ``first(ignorenulls)`` over the after-current frame. At
+    equal timestamps the right row sorts before (strict) or after
+    (non-strict) the left row, which is exactly what ex/includes the
+    same-instant snapshot from the following frame. Among equal right
+    timestamps the EARLIEST in ``right_order`` wins (mirror of the
+    backward rule). Returns all left rows + ``{prefix}{c}`` and
+    ``{prefix}ts``."""
+    left_tag, right_tag = (1, 0) if strict else (0, 1)
+    carried = [f"{prefix}{c}" for c in value_cols]
+
+    lhs = left.withColumn(_TAG, F.lit(left_tag)).withColumn(_SEQ, F.lit(0))
+    for c in value_cols:
+        lhs = lhs.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
+    lhs = lhs.withColumn(f"{prefix}ts", F.lit(None).cast(right.schema[right_ts].dataType))
+
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias(left_ts),
+        F.lit(right_tag).alias(_TAG),
+        (F.col(right_order) if right_order else F.lit(0)).cast("long").alias(_SEQ),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        F.col(right_ts).alias(f"{prefix}ts"),
+    )
+    for f in left.schema.fields:
+        if f.name not in on and f.name != left_ts:
+            rhs = rhs.withColumn(f.name, F.lit(None).cast(f.dataType))
+    rhs = rhs.select(*lhs.columns)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(left_ts).asc(), F.col(_TAG).asc(), F.col(_SEQ).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = lhs.unionByName(rhs)
+    for c in [*carried, f"{prefix}ts"]:
+        unioned = unioned.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return unioned.where(F.col(_TAG) == left_tag).drop(_TAG, _SEQ)
+
+
 def asof_join_cursor(
     left: DataFrame,
     right: DataFrame,

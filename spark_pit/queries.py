@@ -173,6 +173,47 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward (lookahead) as-of join (round 4): next purchase strictly
+    after each event + the time-to-next horizon — the label-generation
+    mirror of the PIT feature join, kept as its own operator so leakage
+    direction is explicit. Integer-microsecond horizon, exact in both
+    engines."""
+    from spark_pit.operators.asof import asof_join_forward
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = asof_join_forward(
+        ev, _snaps(spark, sf_dir), ["user_id"], "ts", "snapshot_ts",
+        ["snapshot_id"], strict=True, right_order="snapshot_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_us("ts").alias("ts_us"),
+        F.col("next_snapshot_id"),
+        ts_us("next_ts").alias("next_ts_us"),
+        (ts_us("next_ts") - ts_us("ts")).alias("horizon_us"),
+    )
+
+
+Q_ASOF_FORWARD_SQL = f"""
+WITH snaps AS ({_SNAPS_SQL}),
+ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, s.snapshot_id, s.snapshot_ts,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY s.snapshot_ts ASC, s.snapshot_id ASC) AS rn
+  FROM events e
+  LEFT JOIN snaps s ON e.user_id = s.user_id AND s.snapshot_ts > e.ts
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       snapshot_id AS next_snapshot_id,
+       epoch_us(snapshot_ts) AS next_ts_us,
+       epoch_us(snapshot_ts) - epoch_us(ts) AS horizon_us
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     out = windows.with_lag_lead(ev, "user_id", "ts", ["value"], [1, 2], tiebreak="event_id")
@@ -4658,6 +4699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diverse_sample": q_diverse_sample,
     "robust_quantiles": q_robust_quantiles,
     "winsorize_stats": q_winsorize_stats,
+    "asof_join_forward": q_asof_join_forward,
     # --- highest-value operators (r02/r03-green, re-certified)
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_mark": q_minhash_dedup_mark,
@@ -4676,7 +4718,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tsne_fixture": q_tsne_fixture,
     "ivf_recall": q_ivf_recall,
     "ann_mllib_recall": q_ann_mllib_recall,
-    "embed_checksums": q_embed_checksums,
     "decode_stats_checksums": q_decode_stats_checksums,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
@@ -4694,6 +4735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51+: green overflow (driver rows exist in CORRECTNESS_r02/_r03)
     "stratified_sample": q_stratified_sample,
     "image_fidelity": q_image_fidelity,
+    "embed_checksums": q_embed_checksums,
     "phash_checksums": q_phash_checksums,
     "pic_clusters": q_pic_clusters,
     "betweenness": q_betweenness,
@@ -4779,6 +4821,7 @@ ORACLES: dict[str, str] = {
     "diverse_sample": Q_DIVERSE_SAMPLE_SQL,
     "robust_quantiles": Q_ROBUST_QUANTILES_SQL,
     "winsorize_stats": Q_WINSORIZE_SQL,
+    "asof_join_forward": Q_ASOF_FORWARD_SQL,
     "lag_lead": Q_LAG_LEAD_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "backfill": Q_BACKFILL_SQL,

@@ -202,3 +202,34 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
         want["sid"].to_numpy(dtype=float), got["asof_sid"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+def test_asof_forward_strict_and_inclusive(spark):
+    """Forward lookahead: strictly-after skips the same-instant snapshot,
+    at-or-after takes it; among equal future timestamps the EARLIEST
+    right_order wins; trailing events get null."""
+    from spark_pit.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "eid": [1, 2, 3],
+                      "ts": [_t(10), _t(15), _t(99)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "sid": [7, 5, 6],
+                      "sts": [_t(10), _t(20), _t(20)]})
+    )
+    kw = dict(on=["k"], left_ts="ts", right_ts="sts",
+              value_cols=["sid"], right_order="sid")
+    strict = (
+        asof_join_forward(left, right, strict=True, **kw)
+        .toPandas().set_index("eid")
+    )
+    incl = (
+        asof_join_forward(left, right, strict=False, **kw)
+        .toPandas().set_index("eid")
+    )
+    # eid1 @10: strict skips the t=10 snapshot -> next is t=20, min sid 5
+    assert strict.loc[1, "next_sid"] == 5
+    assert incl.loc[1, "next_sid"] == 7          # at-or-after takes t=10
+    assert strict.loc[2, "next_sid"] == 5 and incl.loc[2, "next_sid"] == 5
+    assert pd.isna(strict.loc[3, "next_sid"]) and pd.isna(incl.loc[3, "next_sid"])
