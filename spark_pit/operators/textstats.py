@@ -492,3 +492,42 @@ def top_terms(
             .alias("tfidf"),
         )
     )
+
+
+def chunk_stats_strided(
+    df: DataFrame, id_col: str, text_col: str,
+    max_tokens: int = 64, stride: int = 32,
+) -> DataFrame:
+    """OVERLAPPING context-window chunking — the strided variant of
+    :func:`chunk_stats` (stride < max_tokens gives the max−stride token
+    overlap between consecutive windows that LLM pretraining prep uses so
+    no next-token context is lost at chunk boundaries). Chunk c covers
+    token positions [c·stride, c·stride + max_tokens); a token at
+    position p therefore belongs to every c in
+    [max(0, floor((p − max_tokens)/stride) + 1), floor(p/stride)] —
+    emitted JVM-side as explode(sequence(lo, hi)) (≤ ceil(max/stride)
+    memberships per token, a constant fan-out pipelined into the scan;
+    the floor is computed over double division so negative positions
+    round identically in every engine). One partial-agg shuffle on
+    (doc, chunk), same as the non-overlapping form.
+
+    Returns (id, chunk_id, chunk_tokens, first_token, last_token)."""
+    if not 0 < stride <= max_tokens:
+        raise ValueError("need 0 < stride <= max_tokens")
+    ex = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((F.col("pos") - F.lit(max_tokens)) / F.lit(stride)) + 1,
+    )
+    hi = F.floor(F.col("pos") / F.lit(stride))
+    return (
+        ex.withColumn("chunk_id", F.explode(F.sequence(lo.cast("int"), hi.cast("int"))))
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("chunk_tokens"),
+            F.min_by("tok", "pos").alias("first_token"),
+            F.max_by("tok", "pos").alias("last_token"),
+        )
+    )

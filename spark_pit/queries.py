@@ -4308,6 +4308,39 @@ FROM ex GROUP BY doc_id, pos // 32
 """
 
 
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (strided) context-window chunking (round 4): windows of
+    48 tokens every 16 — the 32-token-overlap shape LLM pretraining prep
+    uses. Constant ≤3 chunk memberships per token via
+    explode(sequence(...)), one partial-agg shuffle."""
+    from spark_pit.operators.textstats import chunk_stats_strided
+
+    return chunk_stats_strided(
+        _docs(spark, sf_dir), "doc_id", "text", max_tokens=48, stride=16
+    )
+
+
+Q_CHUNK_OVERLAP_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1
+              AS INT) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+mem AS (
+  SELECT doc_id, pos, tok,
+         CAST(unnest(generate_series(
+           CAST(greatest(0, floor((pos - 48) / 16.0) + 1) AS BIGINT),
+           CAST(floor(pos / 16.0) AS BIGINT))) AS INT) AS chunk_id
+  FROM ex
+)
+SELECT doc_id, chunk_id, count(*) AS chunk_tokens,
+       min_by(tok, pos) AS first_token, max_by(tok, pos) AS last_token
+FROM mem GROUP BY doc_id, chunk_id
+"""
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing over the documents table: sharded contiguous
     fixed-budget bin assignment (budget 256 tokens, 8 md5-fold shards)."""
@@ -4700,6 +4733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_quantiles": q_robust_quantiles,
     "winsorize_stats": q_winsorize_stats,
     "asof_join_forward": q_asof_join_forward,
+    "chunk_overlap": q_chunk_overlap,
     # --- highest-value operators (r02/r03-green, re-certified)
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_mark": q_minhash_dedup_mark,
@@ -4715,7 +4749,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agglomerative_fixture": q_agglomerative_fixture,
     "pca_checksums": q_pca_checksums,
     "lda_fixture": q_lda_fixture,
-    "tsne_fixture": q_tsne_fixture,
     "ivf_recall": q_ivf_recall,
     "ann_mllib_recall": q_ann_mllib_recall,
     "decode_stats_checksums": q_decode_stats_checksums,
@@ -4735,6 +4768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- 51+: green overflow (driver rows exist in CORRECTNESS_r02/_r03)
     "stratified_sample": q_stratified_sample,
     "image_fidelity": q_image_fidelity,
+    "tsne_fixture": q_tsne_fixture,
     "embed_checksums": q_embed_checksums,
     "phash_checksums": q_phash_checksums,
     "pic_clusters": q_pic_clusters,
@@ -4822,6 +4856,7 @@ ORACLES: dict[str, str] = {
     "robust_quantiles": Q_ROBUST_QUANTILES_SQL,
     "winsorize_stats": Q_WINSORIZE_SQL,
     "asof_join_forward": Q_ASOF_FORWARD_SQL,
+    "chunk_overlap": Q_CHUNK_OVERLAP_SQL,
     "lag_lead": Q_LAG_LEAD_SQL,
     "sessionize": Q_SESSIONIZE_SQL,
     "backfill": Q_BACKFILL_SQL,

@@ -406,3 +406,21 @@ def test_top_terms_exact_ranking_key(spark):
     assert d1.iloc[0]["tfidf"] == pytest.approx(round(2 * math.log(2), 3))
     assert d2.iloc[0]["tfidf"] == pytest.approx(round(math.log(2), 3))
     assert (out[out.tok == "y"]["tfidf"] == 0.0).all()
+
+
+def test_chunk_stats_strided_memberships(spark):
+    """max=4, stride=2 on 6 tokens a..f: chunk0=[0,4) abcd, chunk1=[2,6)
+    cdef, chunk2=[4,8) ef — every interior token in 2 chunks."""
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "a b c d e f")], columns=["doc_id", "text"])
+    )
+    out = (
+        textstats.chunk_stats_strided(df, "doc_id", "text", max_tokens=4, stride=2)
+        .toPandas().sort_values("chunk_id").reset_index(drop=True)
+    )
+    assert list(out["chunk_id"]) == [0, 1, 2]
+    assert list(out["chunk_tokens"]) == [4, 4, 2]
+    assert list(out["first_token"]) == ["a", "c", "e"]
+    assert list(out["last_token"]) == ["d", "f", "f"]
+    with pytest.raises(ValueError):
+        textstats.chunk_stats_strided(df, "doc_id", "text", max_tokens=4, stride=5)
