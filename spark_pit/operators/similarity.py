@@ -493,6 +493,8 @@ def farthest_point_sample(
                 )
             ).alias("m")
         ).collect()[0]["m"]
+        if row is None:  # k exceeds the population: trace ends early
+            break
         nid = -row["nid"]
         chosen.append((r, nid, float(row["d"])))
         work = work.where(F.col(id_col) != nid).withColumn(

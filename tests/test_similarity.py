@@ -159,3 +159,16 @@ def test_farthest_point_sample_line_and_ties(spark):
     out2 = farthest_point_sample(df2, "vec_id", "vec", k=2).toPandas()
     assert list(out2["vec_id"]) == [0, 1]
     assert out2["dist2"][1] == 25.0
+
+
+def test_farthest_point_sample_k_exceeds_population(spark):
+    """k > n ends the trace at n rows instead of crashing."""
+    import pandas as pd
+
+    from spark_pit.operators.similarity import farthest_point_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1], "vec": [[0.0], [3.0]]})
+    )
+    out = farthest_point_sample(df, "vec_id", "vec", k=5).toPandas()
+    assert list(out["vec_id"]) == [0, 1] and len(out) == 2
