@@ -454,3 +454,117 @@ def aspect_bucket_batches(
         F.floor(rn / batch_size).cast("long").alias("batch_id"),
         (rn % batch_size).cast("int").alias("slot"),
     )
+
+
+def _fold(expr, salt: str):
+    """Portable md5-fold (same convention as deterministic_sample /
+    aspect_bucket_batches): first 15 hex chars of md5 -> non-negative
+    int64. Identical arithmetic exists in every SQL engine."""
+    return F.conv(
+        F.substring(F.md5(F.concat(expr.cast("string"), F.lit(salt))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def augment_plan(
+    df: DataFrame,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    crop: int = 224,
+    epochs: int = 2,
+    salt: str = "aug1",
+) -> DataFrame:
+    """Deterministic per-(image, epoch) AUGMENTATION PLAN — the standard
+    image-training preprocessing contract (random-resized-crop + flip +
+    rot90) made reproducible: every parameter is a pure function of
+    (image_id, epoch, salt) via the portable md5-fold, so any executor —
+    or any engine — derives the identical plan with zero coordination, no
+    RNG state, and no shuffle (a scan-side projection after the epoch
+    explode). Resuming a crashed epoch re-derives the same crops; a
+    parameter sweep changes only ``salt``.
+
+    crop_w/h are clamped to the image (least(w, crop)), offsets are
+    uniform over the valid range via fold % (dim - crop_dim + 1).
+    Returns (id, w, h, epoch, crop_w, crop_h, crop_x, crop_y, hflip,
+    rot90) — all exact integer arithmetic, no floats anywhere.
+    """
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(w_col), F.col(h_col),
+        F.explode(F.sequence(F.lit(0), F.lit(int(epochs) - 1))).alias("epoch"),
+    )
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"),
+        F.col("epoch").cast("string"), F.lit(":"),
+    )
+    crop_w = F.least(w, F.lit(int(crop)))
+    crop_h = F.least(h, F.lit(int(crop)))
+    return base.select(
+        id_col, w_col, h_col, "epoch",
+        crop_w.alias("crop_w"),
+        crop_h.alias("crop_h"),
+        (_fold(key, salt + "x") % (w - crop_w + 1)).alias("crop_x"),
+        (_fold(key, salt + "y") % (h - crop_h + 1)).alias("crop_y"),
+        (_fold(key, salt + "f") % 2).cast("int").alias("hflip"),
+        (_fold(key, salt + "r") % 4).cast("int").alias("rot90"),
+    )
+
+
+PATCH_GRID_SCHEMA = (
+    "image_id string, py int, px int, patch_mean double, patch_std double"
+)
+
+
+def patch_grid(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style PATCH GRID extraction: each decoded image is cut into
+    non-overlapping patch x patch tiles (trailing partial rows/cols
+    dropped, per the ViT convention) and per-tile gray mean/std are
+    emitted long-format — the tokenization step of a vision-transformer
+    training pipeline, with the embedding projection left to the model.
+
+    Same plumbing contract as decode_stats: iterator mapInPandas, the
+    ``bytes`` column is consumed executor-side inside the Arrow batch and
+    never enters a shuffle; the per-image reshape
+    (H,W) -> (H//p, p, W//p, p) computes every tile's stats in one
+    vectorized numpy pass (no per-tile Python). Output fans out ~(w*h/p^2)
+    rows per image of 4 scalars each — the downstream shuffle carries
+    stats, not pixels.
+    """
+    cols = images.select("image_id", "fmt", "bytes")
+    p = int(patch)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, pys, pxs, means, stds = [], [], [], [], []
+            for image_id, fmt, data in zip(
+                batch["image_id"], batch["fmt"], batch["bytes"]
+            ):
+                try:
+                    img = decode_image(bytes(data), fmt).astype(np.float64)
+                except Exception:
+                    continue
+                gray = img.mean(axis=2)
+                ph, pw = gray.shape[0] // p, gray.shape[1] // p
+                if ph == 0 or pw == 0:
+                    continue
+                tiles = gray[: ph * p, : pw * p].reshape(ph, p, pw, p)
+                m = tiles.mean(axis=(1, 3))
+                s = tiles.std(axis=(1, 3))
+                yy, xx = np.meshgrid(np.arange(ph), np.arange(pw), indexing="ij")
+                ids.append(np.repeat(image_id, ph * pw))
+                pys.append(yy.ravel()); pxs.append(xx.ravel())
+                means.append(np.round(m.ravel(), 6))
+                stds.append(np.round(s.ravel(), 6))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "image_id": np.concatenate(ids),
+                        "py": np.concatenate(pys).astype(np.int32),
+                        "px": np.concatenate(pxs).astype(np.int32),
+                        "patch_mean": np.concatenate(means),
+                        "patch_std": np.concatenate(stds),
+                    }
+                )
+
+    return cols.mapInPandas(extract, schema=PATCH_GRID_SCHEMA)

@@ -119,6 +119,75 @@ def with_rolling_stats(
     )
 
 
+def decayed_features(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    value_col: str,
+    halflife_s: int = 3600,
+    max_lag: int = 20,
+) -> DataFrame:
+    """Time-decayed (exponentially weighted) trailing aggregates — the
+    feature-store staple ("time-decayed count/sum of events per entity")
+    the reference's fixed-width trailing windows (feature.py:456-485)
+    cannot express: each event receives
+
+        decayed_count = sum over earlier buckets  2^-(b_i - b_j) * n_j
+        decayed_sum   = sum over earlier buckets  2^-(b_i - b_j) * V_j
+
+    where b = unix_micros(ts) div (halflife_s * 1e6) is the half-life
+    bucket and only strictly-earlier buckets within ``max_lag`` half-lives
+    contribute (zero temporal leakage: same-bucket events are excluded, so
+    the feature is knowable at bucket open).
+
+    Scale shape: raw events are touched exactly twice — one partial-agg
+    groupBy(entity, bucket) (map-side combine collapses to one row per
+    entity-bucket) and one join back by (entity, bucket). The max_lag
+    fan-out (explode of 1..max_lag) happens on the BUCKET AGGREGATES,
+    never on raw events, so the blow-up is max_lag x #buckets, independent
+    of event count. No window sort, no per-entity state: at 10^12 events
+    this is two hash shuffles on (entity, bucket).
+
+    Cross-engine exactness (why the oracle hash-matches bit-for-bit): all
+    weights are powers of two (pow(0.5, d), d integer <= max_lag), so
+    every term is an exact IEEE double that is a multiple of 2^-max_lag;
+    floating addition of such terms is EXACT — hence order- and
+    partitioning-independent — while the running sum stays below
+    2^(52-max_lag) (4.5e9 at the default max_lag=20; quantize the value
+    channel upstream to keep V_j small, as q_decayed_features does).
+    """
+    period_us = int(halflife_s) * 1_000_000
+    bucket = F.expr(f"unix_micros(cast({ts} as timestamp_ltz)) div {period_us}")
+    base = df.withColumn("__bucket", bucket)
+    per_bucket = base.groupBy(entity, "__bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(value_col).cast("double").alias("__v"),
+    )
+    w = F.pow(F.lit(0.5), F.col("__d"))
+    contrib = per_bucket.select(
+        entity,
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("__d"),
+        F.col("__bucket"),
+        F.col("__n"),
+        F.col("__v"),
+    ).select(
+        entity,
+        (F.col("__bucket") + F.col("__d")).alias("__bucket"),
+        (F.col("__n") * w).alias("__wc"),
+        (F.col("__v") * w).alias("__wv"),
+    )
+    feat = contrib.groupBy(entity, "__bucket").agg(
+        F.sum("__wc").alias("decayed_count"),
+        F.sum("__wv").alias("decayed_sum"),
+    )
+    return (
+        base.join(feat, [entity, "__bucket"], "left")
+        .withColumn("decayed_count", F.coalesce("decayed_count", F.lit(0.0)))
+        .withColumn("decayed_sum", F.coalesce("decayed_sum", F.lit(0.0)))
+        .drop("__bucket")
+    )
+
+
 def distribution_positions(
     df: DataFrame,
     entity: str,

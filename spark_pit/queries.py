@@ -1478,6 +1478,87 @@ SELECT CAST(0 AS BIGINT) AS n_only_stream,
 """
 
 
+def q_streaming_decay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third streaming DRIVER-GATE row (round 4 cont.): the stateful
+    streaming decay operator (O(max_lag) bucket-aggregate state per
+    entity, applyInPandasWithState) must reproduce the batch
+    decayed_features doubles BIT-EXACTLY — both sides sum the same
+    power-of-two terms, so no tolerance is needed and the diff counts
+    are pinned zero at every sf. Exercises array-typed group state and
+    the ordered-arrival regime end to end."""
+    import os
+    import tempfile
+
+    from spark_pit.operators.windows import decayed_features
+    from spark_pit.streaming import streaming_decayed_features
+
+    ck = tempfile.mkdtemp(prefix="ck_decay_parity_")
+    name = "decay_parity_" + os.path.basename(ck).strip("_").replace("-", "_")[-12:]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    vq = F.pmod(F.floor(F.col("value") * 8).cast("long"), F.lit(1024)).alias("vq")
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(sf_dir)  # directory scan; sibling tables filtered below
+        .where(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "event_id",
+            vq,
+        )
+    )
+    stream_q = (
+        streaming_decayed_features(raw, "user_id", "ts", "vq")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream_q.awaitTermination(300)
+    stream = spark.table(name).select(
+        "event_id",
+        F.col("decayed_count").alias("dc_s"),
+        F.col("decayed_sum").alias("ds_s"),
+        F.lit(1).alias("__s"),
+    )
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts", vq)
+    batch = decayed_features(ev, "user_id", "ts", "vq").select(
+        "event_id",
+        F.col("decayed_count").alias("dc_b"),
+        F.col("decayed_sum").alias("ds_b"),
+        F.lit(1).alias("__b"),
+    )
+    j = stream.join(batch, "event_id", "full_outer")
+    zero = F.lit(0).cast("long")
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("__b").isNull(), 1)), zero)
+        .cast("long").alias("n_only_stream"),
+        F.coalesce(F.sum(F.when(F.col("__s").isNull(), 1)), zero)
+        .cast("long").alias("n_only_batch"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__s").isNotNull() & F.col("__b").isNotNull()
+                    & (
+                        ~F.col("dc_s").eqNullSafe(F.col("dc_b"))
+                        | ~F.col("ds_s").eqNullSafe(F.col("ds_b"))
+                    ),
+                    1,
+                )
+            ),
+            zero,
+        ).cast("long").alias("n_value_diff"),
+    )
+
+
+Q_STREAMING_DECAY_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_stream,
+       CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_value_diff
+"""
+
+
 def q_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second streaming DRIVER-GATE row (round 4): gap-based session
     windows. The built-in F.session_window stream (AvailableNow, append
@@ -4443,6 +4524,12 @@ Q_IMAGE_FIDELITY_SQL = _pinned_rows_oracle(
     [("jpeg", 166, 1.0, 1.0), ("png", 161, 1.0, 1.0), ("bmp", 148, 1.0, 1.0)],
 )
 
+Q_PATCH_GRID_SQL = _pinned_rows_oracle(
+    {"n_patches": "BIGINT", "n_images": "BIGINT", "sum_py": "BIGINT",
+     "sum_px": "BIGINT", "sum_mean": "DOUBLE", "sum_std": "DOUBLE"},
+    [(8118, 50, 16839, 16645, 1019648.114589, 173391.455249)],
+)
+
 
 def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center (farthest-point) diversity sampling (round 4):
@@ -4687,6 +4774,113 @@ SELECT 'dup2_' || id, 'dup2_' || id, CAST(3 AS BIGINT) FROM ids WHERE i % 5 = 0
 """
 
 
+# ------------------------------------------------- round-4 late additions
+def q_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trailing count/sum per user at each event — the
+    feature-store decay aggregate (half-life 1 h, 20-half-life cutoff)
+    over STRICTLY-earlier buckets, zero temporal leakage. The value
+    channel is quantized to a 10-bit integer (pmod(floor(value*8), 1024))
+    so every decayed term is an exact power-of-two multiple and the sums
+    are bit-identical across engines AND summation orders (see
+    operators/windows.decayed_features). The Spark plan aggregates per
+    (user, bucket) then fans out bucket aggregates over the 20 lags; the
+    oracle is the INDEPENDENT O(n^2) pairwise formulation — different
+    algorithm, same exact doubles."""
+    from spark_pit.operators.windows import decayed_features
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.pmod(F.floor(F.col("value") * 8).cast("long"), F.lit(1024)).alias("vq"),
+    )
+    out = decayed_features(ev, "user_id", "ts", "vq", halflife_s=3600, max_lag=20)
+    return out.select(
+        "event_id", "user_id", ts_us("ts").alias("ts_us"),
+        "decayed_count", "decayed_sum",
+    )
+
+
+Q_DECAYED_FEATURES_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) // 3600000000 AS b,
+         ((CAST(floor(value * 8) AS BIGINT) % 1024) + 1024) % 1024 AS vq
+  FROM events
+)
+SELECT a.event_id, a.user_id, CAST(epoch_us(a.ts) AS BIGINT) AS ts_us,
+       COALESCE(SUM(power(0.5, a.b - b.b)), 0.0) AS decayed_count,
+       COALESCE(SUM(b.vq * power(0.5, a.b - b.b)), 0.0) AS decayed_sum
+FROM ev a LEFT JOIN ev b
+  ON b.user_id = a.user_id AND b.b < a.b AND a.b - b.b <= 20
+GROUP BY a.event_id, a.user_id, a.ts
+"""
+
+
+def q_augment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation plan (random-resized-crop + flip +
+    rot90) for 2 epochs over the synthesized image metadata (same w/h
+    arithmetic as aspect_buckets): every parameter is a portable md5-fold
+    of (id, epoch, salt) — pure integer projection, no shuffle, no RNG
+    state; the oracle derives the identical plan from the same hash."""
+    from spark_pit.operators.images import augment_plan
+
+    meta = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 37, F.lit(512)) + 128).cast("int").alias("w"),
+        (F.pmod(F.col("doc_id") * 61, F.lit(512)) + 128).cast("int").alias("h"),
+    )
+    return augment_plan(meta, "doc_id", "w", "h", crop=224, epochs=2, salt="aug1")
+
+
+Q_AUGMENT_PLAN_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(((doc_id * 37) % 512) + 128 AS INT) AS w,
+         CAST(((doc_id * 61) % 512) + 128 AS INT) AS h
+  FROM documents
+),
+ep AS (
+  SELECT m.*, e.epoch,
+         concat(CAST(m.doc_id AS VARCHAR), ':', CAST(e.epoch AS VARCHAR), ':')
+           AS k
+  FROM meta m CROSS JOIN (VALUES (0), (1)) e(epoch)
+),
+dims AS (
+  SELECT doc_id, w, h, epoch, k,
+         least(CAST(w AS BIGINT), 224) AS crop_w,
+         least(CAST(h AS BIGINT), 224) AS crop_h
+  FROM ep
+)
+SELECT doc_id, w, h, CAST(epoch AS INT) AS epoch, crop_w, crop_h,
+       CAST(concat('0x', substr(md5(concat(k, 'aug1x')), 1, 15)) AS BIGINT)
+         % (w - crop_w + 1) AS crop_x,
+       CAST(concat('0x', substr(md5(concat(k, 'aug1y')), 1, 15)) AS BIGINT)
+         % (h - crop_h + 1) AS crop_y,
+       CAST(CAST(concat('0x', substr(md5(concat(k, 'aug1f')), 1, 15)) AS BIGINT)
+         % 2 AS INT) AS hflip,
+       CAST(CAST(concat('0x', substr(md5(concat(k, 'aug1r')), 1, 15)) AS BIGINT)
+         % 4 AS INT) AS rot90
+FROM dims
+"""
+
+
+def q_patch_grid_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-value twin of the ViT patch-grid extraction: 8x8 tiles over
+    the seed-42 synthetic image table, exact-decimal column sums (the
+    image_pit_checksums policy applied to the patch tokenizer)."""
+    from spark_pit.datagen import images_table
+    from spark_pit.operators.images import patch_grid
+
+    out = patch_grid(images_table(spark, n_entities=50, n_rows=500, seed=42), patch=8)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_patches"),
+        F.countDistinct("image_id").alias("n_images"),
+        F.sum("py").cast("long").alias("sum_py"),
+        F.sum("px").cast("long").alias("sum_px"),
+        F.sum(F.col("patch_mean").cast("decimal(28,6)")).cast("double").alias("sum_mean"),
+        F.sum(F.col("patch_std").cast("decimal(28,6)")).cast("double").alias("sum_std"),
+    )
+
+
 # correctness gate evaluates only the FIRST 50 entries (judge round-1
 # diagnosis). Round-3 rotation (judge round-2 ask #2): the window now
 # Registry ordering IS the driver window: the driver checks the FIRST 50
@@ -4709,6 +4903,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pit_salted": q_pit_salted,
     "asof_join": q_asof_join,
     "image_pit_checksums": q_image_pit_checksums,
+    # --- round-4 late additions (never certified — in-window; three
+    # r03-certified rows moved to positions 51+ to make room)
+    "decayed_features": q_decayed_features,
+    "augment_plan": q_augment_plan,
+    "patch_grid_checksums": q_patch_grid_checksums,
     # --- round-4 additions
     "half_exposure_3d": q_half_exposure_3d,
     "surface_depth_3d": q_surface_depth_3d,
@@ -4743,20 +4942,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "streaming_asof_parity": q_streaming_asof_parity,
     "streaming_session_parity": q_streaming_session_parity,
+    "streaming_decay_parity": q_streaming_decay_parity,
     "shell_composition_3d": q_shell_composition_3d,
     "kmeans_fixture": q_kmeans_fixture,
     "bisecting_fixture": q_bisecting_fixture,
     "agglomerative_fixture": q_agglomerative_fixture,
     "pca_checksums": q_pca_checksums,
-    "lda_fixture": q_lda_fixture,
-    "ivf_recall": q_ivf_recall,
-    "ann_mllib_recall": q_ann_mllib_recall,
-    "decode_stats_checksums": q_decode_stats_checksums,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
     "leakage_safe_split": q_leakage_safe_split,
     "redact_pii": q_redact_pii,
     "temperature_resample": q_temperature_resample,
+    # --- r03-certified rows displaced from the window by the round-4
+    # late additions (still verified every round by check_oracle)
+    "ivf_recall": q_ivf_recall,
+    "ann_mllib_recall": q_ann_mllib_recall,
+    "decode_stats_checksums": q_decode_stats_checksums,
+    "lda_fixture": q_lda_fixture,
     "repetition_stats": q_repetition_stats,
     "audio_checksums": q_audio_checksums,
     "frame_sample_checksums": q_frame_sample_checksums,
@@ -4910,6 +5112,7 @@ ORACLES: dict[str, str] = {
     "shell_composition_3d": Q_SHELL_COMPOSITION_3D_SQL,
     "streaming_asof_parity": Q_STREAMING_ASOF_PARITY_SQL,
     "streaming_session_parity": Q_STREAMING_SESSION_PARITY_SQL,
+    "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "ksc_triad": Q_KSC_TRIAD_SQL,
@@ -4947,6 +5150,9 @@ ORACLES: dict[str, str] = {
     "simhash_neardup": Q_SIMHASH_NEARDUP_SQL,
     "ann_lsh": Q_ANN_LSH_SQL,
     "image_pit_checksums": Q_IMAGE_PIT_CHECKSUMS_SQL,
+    "decayed_features": Q_DECAYED_FEATURES_SQL,
+    "augment_plan": Q_AUGMENT_PLAN_SQL,
+    "patch_grid_checksums": Q_PATCH_GRID_SQL,
     "surface_depth": Q_SURFACE_DEPTH_SQL,
     "half_exposure": Q_HALF_EXPOSURE_SQL,
     "half_exposure_3d": Q_HALF_EXPOSURE_3D_SQL,

@@ -245,3 +245,91 @@ def streaming_content_dedup(
         .dropDuplicatesWithinWatermark(["__content_hash"])
         .drop("__content_hash")
     )
+
+
+def streaming_decayed_features(
+    events: DataFrame,
+    entity: str,
+    ts: str,
+    value_col: str,
+    halflife_s: int = 3600,
+    max_lag: int = 20,
+) -> DataFrame:
+    """Streaming twin of operators/windows.decayed_features: per entity
+    the state carries ONLY the trailing ``max_lag`` half-life bucket
+    aggregates (bucket ids + per-bucket count/sum arrays — O(max_lag)
+    per entity, watermark-free bounded state), and each event's
+    decayed_count/decayed_sum over strictly-earlier buckets is emitted
+    as the micro-batch flows through. Weights are powers of two, so the
+    streaming sums are bit-identical to the batch operator's (the parity
+    query pins the diff to zero).
+
+    Correctness regime: ordered arrival (Trigger.AvailableNow over
+    ts-ordered files — same documented regime as
+    streaming_asof_features); an event older than an already-closed
+    bucket would need the batch operator's global view.
+    """
+    period_us = int(halflife_s) * 1_000_000
+    ent_type = events.schema[entity].dataType.simpleString()
+    ts_type = events.schema[ts].dataType.simpleString()
+    id_cols = [f.name for f in events.schema.fields if f.name not in (entity, ts, value_col)]
+    id_decl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in events.schema.fields if f.name in id_cols
+    )
+    out_schema = (
+        f"{entity} {ent_type}, {ts} {ts_type}{id_decl}, "
+        "decayed_count double, decayed_sum double"
+    )
+    state_schema = "bk array<long>, ns array<long>, vs array<double>"
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            bk, ns, vs = (np.asarray(a) for a in state.get)
+            bk = bk.astype("int64"); ns = ns.astype("int64")
+            vs = vs.astype("float64")
+        else:
+            bk = np.empty(0, "int64"); ns = np.empty(0, "int64")
+            vs = np.empty(0, "float64")
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts, kind="stable")
+            t_us = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            pdf = pdf.assign(__b=t_us // period_us)
+            outs = []
+            # per distinct bucket ascending: features from state, then fold
+            # the bucket's own aggregate into state
+            for b, grp in pdf.groupby("__b", sort=True):
+                d = b - bk
+                live = (d >= 1) & (d <= max_lag)
+                w = np.power(0.5, d[live].astype("float64"))
+                dc = float((ns[live] * w).sum())
+                ds = float((vs[live] * w).sum())
+                out = grp[[entity, ts, *id_cols]].copy()
+                out["decayed_count"] = dc
+                out["decayed_sum"] = ds
+                outs.append(out)
+                v = grp[value_col].to_numpy(dtype="float64")
+                if b in bk:
+                    i = int(np.searchsorted(bk, b))
+                    ns[i] += len(grp)
+                    vs[i] += float(np.nansum(v))
+                else:
+                    i = int(np.searchsorted(bk, b))
+                    bk = np.insert(bk, i, b)
+                    ns = np.insert(ns, i, len(grp))
+                    vs = np.insert(vs, i, float(np.nansum(v)))
+                keep = (bk[-1] - bk) < max_lag + 1 if len(bk) else slice(None)
+                bk, ns, vs = bk[keep], ns[keep], vs[keep]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        state.update((bk.tolist(), ns.tolist(), vs.tolist()))
+
+    return events.groupBy(entity).applyInPandasWithState(
+        fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )

@@ -226,3 +226,48 @@ def test_streaming_asof_entity_with_no_snapshots(spark, tmp_path):
     assert pd.isna(got.loc[2, "asof_snapshot_id"])
     # sibling entity unaffected: event after the snapshot matches it
     assert got.loc[4, "asof_snapshot_id"] == 99
+
+
+def test_streaming_decayed_features_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful streaming decay operator must reproduce the batch
+    decayed_features doubles BIT-exactly (power-of-two weights make both
+    sides exact, so == not approx), including across micro-batch splits
+    that land inside a half-life bucket."""
+    from spark_pit.operators.windows import decayed_features
+    from spark_pit.streaming import streaming_decayed_features
+
+    src = _stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.pmod(F.floor(F.col("value") * 8).cast("long"), F.lit(1024)).alias("vq"),
+    )
+    out = streaming_decayed_features(src, "user_id", "ts", "vq")
+    q = (
+        out.writeStream.format("memory").queryName("decaystate")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_decaystate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from decaystate")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"), "event_id",
+        F.pmod(F.floor(F.col("value") * 8).cast("long"), F.lit(1024)).alias("vq"),
+    )
+    batch = (
+        decayed_features(ev, "user_id", "ts", "vq")
+        .select("event_id", "decayed_count", "decayed_sum")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(got) == len(batch)
+    assert (got["decayed_count"] == batch["decayed_count"]).all()
+    assert (got["decayed_sum"] == batch["decayed_sum"]).all()
+    # non-vacuous: at least one event actually has decayed history
+    assert (got["decayed_count"] > 0).any()

@@ -119,6 +119,16 @@ def main() -> int:
         # "close" locally means "fail at the driver" (judge round-1 item 2)
         if problems:
             print(f"[FAIL] {name}: {problems}")
+            # forensic dump: one observed flake (asof_join_nearest,
+            # 2026-08-17, under concurrent-pytest load) was gone on every
+            # re-run; persist both frames so the next occurrence is
+            # diagnosable instead of anecdotal
+            try:
+                spark_pdf.to_parquet(f"/tmp/oracle_fail_{name}_spark.parquet")
+                duck_pdf.to_parquet(f"/tmp/oracle_fail_{name}_duck.parquet")
+                print(f"       dumped /tmp/oracle_fail_{name}_*.parquet")
+            except Exception:
+                pass
             failures += 1
         else:
             print(f"[OK]   {name}: {len(spark_pdf)} rows")
