@@ -505,3 +505,79 @@ def farthest_point_sample(
         schema="sel_rank long, " + id_col + " long, dist2 double",
     )
     return out
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    codebook_bits: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Product quantization (Jegou et al. 2011) — the compression half of
+    the IVF-PQ pair beside ivf_topk: the vector is split into ``m``
+    contiguous subvectors, each quantized to its nearest of 2^bits
+    per-subspace k-means centroids. Output per row: the m-byte code and
+    the exact reconstruction error.
+
+    Scale split: TRAINING fits m tiny MLlib KMeans models — on a
+    deterministic md5-fold sample when ``train_fraction`` is set (at
+    10^12 vectors you train on ~10^6; codebooks are data statistics, not
+    per-row state). ASSIGNMENT is pure whole-stage-codegen JVM: the m x
+    2^bits codebook is embedded as literal arrays and argmin runs via
+    array_min over (distance, idx) structs — zero shuffles, zero Python,
+    one projection over the full table. Ties break to the lowest
+    centroid idx (struct ordering), so codes are deterministic.
+
+    Returns (id, pq_code array<int> length m, pq_sq_err double = exact
+    total squared reconstruction error)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    if dim is None:
+        dim = len(base.select("__v").first()["__v"])  # 1-row bounded collect
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    k = 1 << codebook_bits
+    train = base
+    if train_fraction is not None:
+        fold = F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("pqt"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        train = base.where(fold % 1_000_000 < int(train_fraction * 1_000_000))
+    codebooks = []
+    for j in range(m):
+        sub = train.select(
+            array_to_vector(F.slice(F.col("__v"), j * d_sub + 1, d_sub)).alias("__features")
+        )
+        model = KMeans(k=k, seed=seed + j, featuresCol="__features").fit(sub)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    picks = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col("__v"), j * d_sub + 1, d_sub)
+        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda s, d: s + d,
+                ).alias("d"),
+                i.alias("idx"),
+            ),
+        )
+        picks.append(F.array_min(scored).alias(f"__p{j}"))
+    coded = base.select(id_col, "__v", *picks)
+    return coded.select(
+        id_col,
+        F.array(*[F.col(f"__p{j}.idx") for j in range(m)]).alias("pq_code"),
+        sum(
+            (F.col(f"__p{j}.d") for j in range(m)), F.lit(0.0)
+        ).alias("pq_sq_err"),
+    )

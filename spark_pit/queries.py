@@ -4881,6 +4881,43 @@ def q_patch_grid_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over the planted-twin blob fixture: m=4
+    subspaces x 16 codes. Pins the partitioning-ROBUST invariants only
+    (MLlib kmeans|| init varies with partitioning, so raw codes are not
+    pinnable): byte-identical planted twins always quantize to their
+    source's exact code (20/20), and every vector reconstructs within
+    the blob-noise bound (max exact squared error < 4.0 against ~0.65
+    measured — any sane codebook satisfies it; a broken assignment or
+    subspace slicing misalignment does not)."""
+    from spark_pit.datagen import blobs_table
+    from spark_pit.operators.similarity import pq_codes
+
+    emb = blobs_table(spark, plant_twins=20)
+    codes = pq_codes(emb, "vec_id", "embedding", m=4, codebook_bits=4)
+    twins = codes.where(F.col("vec_id") >= 10000).select(
+        (F.col("vec_id") - 10000).alias("vec_id"), F.col("pq_code").alias("__tc")
+    )
+    match = (
+        codes.join(twins, "vec_id")
+        .agg(
+            F.sum(F.when(F.col("pq_code") == F.col("__tc"), 1).otherwise(0))
+            .cast("long").alias("n_twin_match")
+        )
+    )
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("pq_sq_err") < 4.0).alias("all_err_below"),
+    )
+    return stats.crossJoin(match)
+
+
+Q_PQ_FIXTURE_SQL = _pinned_rows_oracle(
+    {"n_rows": "BIGINT", "all_err_below": "BOOLEAN", "n_twin_match": "BIGINT"},
+    [(180, True, 20)],
+)
+
+
 # correctness gate evaluates only the FIRST 50 entries (judge round-1
 # diagnosis). Round-3 rotation (judge round-2 ask #2): the window now
 # Registry ordering IS the driver window: the driver checks the FIRST 50
@@ -4918,6 +4955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aaindex_multi": q_aaindex_multi,
     "ivf_topk_checksums": q_ivf_topk_checksums,
     "bisecting_checksums": q_bisecting_checksums,
+    "pq_fixture": q_pq_fixture,
     # --- round-4 corpus-hygiene / corpus-LM additions (never certified;
     # dup_ngram_stats + decontaminate were accidentally registered at
     # 107-108, outside every window — moved up before first certification)
@@ -4946,7 +4984,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shell_composition_3d": q_shell_composition_3d,
     "kmeans_fixture": q_kmeans_fixture,
     "bisecting_fixture": q_bisecting_fixture,
-    "agglomerative_fixture": q_agglomerative_fixture,
     "pca_checksums": q_pca_checksums,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
@@ -4959,6 +4996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_mllib_recall": q_ann_mllib_recall,
     "decode_stats_checksums": q_decode_stats_checksums,
     "lda_fixture": q_lda_fixture,
+    "agglomerative_fixture": q_agglomerative_fixture,
     "repetition_stats": q_repetition_stats,
     "audio_checksums": q_audio_checksums,
     "frame_sample_checksums": q_frame_sample_checksums,
@@ -5113,6 +5151,7 @@ ORACLES: dict[str, str] = {
     "streaming_asof_parity": Q_STREAMING_ASOF_PARITY_SQL,
     "streaming_session_parity": Q_STREAMING_SESSION_PARITY_SQL,
     "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
+    "pq_fixture": Q_PQ_FIXTURE_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "ksc_triad": Q_KSC_TRIAD_SQL,

@@ -172,3 +172,35 @@ def test_farthest_point_sample_k_exceeds_population(spark):
     )
     out = farthest_point_sample(df, "vec_id", "vec", k=5).toPandas()
     assert list(out["vec_id"]) == [0, 1] and len(out) == 2
+
+
+def test_pq_codes_quantization(spark):
+    """PQ: planted twins quantize to their source's exact code, error is
+    the exact squared reconstruction error, train_fraction sampling still
+    yields a usable codebook, and a non-divisible dim raises."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spark_pit.datagen import blobs_table
+    from spark_pit.operators.similarity import pq_codes
+
+    emb = blobs_table(spark, plant_twins=10)
+    codes = pq_codes(emb, "vec_id", "embedding", m=4, codebook_bits=4)
+    pdf = codes.toPandas().set_index("vec_id")
+    assert len(pdf) == 170
+    assert (pdf["pq_code"].apply(len) == 4).all()
+    assert pdf["pq_sq_err"].max() < 4.0
+    for t in range(10):
+        assert tuple(pdf.loc[10000 + t, "pq_code"]) == tuple(pdf.loc[t, "pq_code"])
+        assert pdf.loc[10000 + t, "pq_sq_err"] == pdf.loc[t, "pq_sq_err"]
+    # codes are in range [0, 16)
+    allc = np.concatenate(pdf["pq_code"].to_numpy())
+    assert allc.min() >= 0 and allc.max() < 16
+    # sampled training still reconstructs within the blob-noise bound
+    sampled = pq_codes(
+        emb, "vec_id", "embedding", m=4, codebook_bits=4, train_fraction=0.5
+    )
+    assert sampled.agg(F.max("pq_sq_err")).first()[0] < 4.0
+    with _pytest.raises(ValueError):
+        pq_codes(emb, "vec_id", "embedding", m=3)
