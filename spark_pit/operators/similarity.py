@@ -544,35 +544,13 @@ def pq_codes(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
     k = 1 << codebook_bits
-    train = base
-    if train_fraction is not None:
-        fold = F.conv(
-            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("pqt"))), 1, 15),
-            16, 10,
-        ).cast("long")
-        train = base.where(fold % 1_000_000 < int(train_fraction * 1_000_000))
-    codebooks = []
-    for j in range(m):
-        sub = train.select(
-            array_to_vector(F.slice(F.col("__v"), j * d_sub + 1, d_sub)).alias("__features")
-        )
-        model = KMeans(k=k, seed=seed + j, featuresCol="__features").fit(sub)
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
-    picks = []
-    for j, book in enumerate(codebooks):
-        sub = F.slice(F.col("__v"), j * d_sub + 1, d_sub)
-        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
-        scored = F.transform(
-            cents,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda s, d: s + d,
-                ).alias("d"),
-                i.alias("idx"),
-            ),
-        )
-        picks.append(F.array_min(scored).alias(f"__p{j}"))
+    codebooks = _train_pq_codebooks(
+        base, id_col, m, d_sub, k, seed, train_fraction
+    )
+    picks = [
+        F.array_min(_pq_subspace_dists(j, d_sub, book)).alias(f"__p{j}")
+        for j, book in enumerate(codebooks)
+    ]
     coded = base.select(id_col, "__v", *picks)
     return coded.select(
         id_col,
@@ -580,4 +558,117 @@ def pq_codes(
         sum(
             (F.col(f"__p{j}.d") for j in range(m)), F.lit(0.0)
         ).alias("pq_sq_err"),
+    )
+
+
+def _train_pq_codebooks(
+    base: DataFrame,
+    id_col: str,
+    m: int,
+    d_sub: int,
+    k: int,
+    seed: int,
+    train_fraction: float | None,
+) -> list[list[list[float]]]:
+    """Fit the m per-subspace KMeans codebooks (shared by pq_codes and
+    pq_topk). Training optionally runs on a deterministic md5-fold sample;
+    the returned codebooks are plain Python floats, embedded downstream as
+    literal arrays (broadcast-free: m * 2^bits * d_sub doubles)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = base
+    if train_fraction is not None:
+        fold = F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("pqt"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        train = base.where(fold % 1_000_000 < int(train_fraction * 1_000_000))
+    books = []
+    for j in range(m):
+        sub = train.select(
+            array_to_vector(F.slice(F.col("__v"), j * d_sub + 1, d_sub)).alias("__features")
+        )
+        model = KMeans(k=k, seed=seed + j, featuresCol="__features").fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _pq_subspace_dists(j: int, d_sub: int, book: list[list[float]]):
+    """array<struct<d,idx>> of exact squared distances from __v's j-th
+    subvector to every centroid of subspace j's codebook (codegen-only)."""
+    sub = F.slice(F.col("__v"), j * d_sub + 1, d_sub)
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda s, d: s + d,
+            ).alias("d"),
+            i.alias("idx"),
+        ),
+    )
+
+
+def pq_topk(
+    db: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 4,
+    codebook_bits: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k (Jegou et al. 2011 asymmetric distance computation):
+    database vectors are stored only as m-int PQ codes; each query builds
+    its m x 2^bits lookup table of exact subspace distances, and the
+    approximate distance to a database row is m table lookups —
+    adc = sum_j lut[j][code_j]. The db stream carries m small ints per
+    row instead of `dim` doubles (the memory win that makes a 10^12-row
+    scan feasible); queries + LUTs are broadcast (top-k against a bounded
+    query set, the same contract as cosine_topk). The inner join is the
+    inherent queries x codes product — PQ shrinks the streamed bytes and
+    replaces the O(dim) inner product with O(m) lookups.
+
+    Returns (qid, nid, rk, adc_dist) with ties broken by (adc, nid)."""
+    base_db = db.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    if dim is None:
+        dim = len(base_db.select("__v").first()["__v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    n_cent = 1 << codebook_bits
+    books = _train_pq_codebooks(
+        base_db, id_col, m, d_sub, n_cent, seed, train_fraction
+    )
+    coded = base_db.select(
+        F.col(id_col).alias("nid"),
+        *[
+            F.array_min(_pq_subspace_dists(j, d_sub, books[j]))["idx"].alias(f"__c{j}")
+            for j in range(m)
+        ],
+    )
+    qside = queries.select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("__v")
+    ).select(
+        "qid",
+        *[
+            F.transform(_pq_subspace_dists(j, d_sub, books[j]), lambda s: s["d"])
+            .alias(f"__lut{j}")
+            for j in range(m)
+        ],
+    )
+    adc = sum(
+        (F.col(f"__lut{j}")[F.col(f"__c{j}")] for j in range(m)), F.lit(0.0)
+    ).alias("adc_dist")
+    pairs = coded.crossJoin(F.broadcast(qside)).select("qid", "nid", adc)
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.round("adc_dist", 6).alias("adc_dist"))
     )

@@ -4918,6 +4918,39 @@ Q_PQ_FIXTURE_SQL = _pinned_rows_oracle(
 )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k over the planted-twin fixture: the 20 twins query the
+    160-vector database stored ONLY as 4-int PQ codes. Pins: exactly
+    20 x k rows, every twin's exact nearest neighbor (its byte-identical
+    source, 47-sigma separated from every other blob) survives the
+    asymmetric-distance approximation into the top-5, and the rank-1 ADC
+    distance stays under the blob-noise bound (an LUT indexing or
+    subspace misalignment bug blows all three)."""
+    from spark_pit.datagen import blobs_table
+    from spark_pit.operators.similarity import pq_topk
+
+    emb = blobs_table(spark, plant_twins=20)
+    db = emb.where(F.col("vec_id") < 10000)
+    qs = emb.where(F.col("vec_id") >= 10000)
+    top = pq_topk(db, qs, "vec_id", "embedding", k=5)
+    hits = (
+        top.where(F.col("nid") == F.col("qid") - 10000)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_source_in_topk"))
+    )
+    stats = top.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max(F.when(F.col("rk") == 1, F.col("adc_dist"))) < 4.0)
+        .alias("rank1_err_below"),
+    )
+    return stats.crossJoin(hits)
+
+
+Q_PQ_TOPK_SQL = _pinned_rows_oracle(
+    {"n_rows": "BIGINT", "rank1_err_below": "BOOLEAN", "n_source_in_topk": "BIGINT"},
+    [(100, True, 20)],
+)
+
+
 # correctness gate evaluates only the FIRST 50 entries (judge round-1
 # diagnosis). Round-3 rotation (judge round-2 ask #2): the window now
 # Registry ordering IS the driver window: the driver checks the FIRST 50
@@ -4956,6 +4989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_checksums": q_ivf_topk_checksums,
     "bisecting_checksums": q_bisecting_checksums,
     "pq_fixture": q_pq_fixture,
+    "pq_topk": q_pq_topk,
     # --- round-4 corpus-hygiene / corpus-LM additions (never certified;
     # dup_ngram_stats + decontaminate were accidentally registered at
     # 107-108, outside every window — moved up before first certification)
@@ -4983,7 +5017,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_decay_parity": q_streaming_decay_parity,
     "shell_composition_3d": q_shell_composition_3d,
     "kmeans_fixture": q_kmeans_fixture,
-    "bisecting_fixture": q_bisecting_fixture,
     "pca_checksums": q_pca_checksums,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
@@ -4997,6 +5030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_stats_checksums": q_decode_stats_checksums,
     "lda_fixture": q_lda_fixture,
     "agglomerative_fixture": q_agglomerative_fixture,
+    "bisecting_fixture": q_bisecting_fixture,
     "repetition_stats": q_repetition_stats,
     "audio_checksums": q_audio_checksums,
     "frame_sample_checksums": q_frame_sample_checksums,
@@ -5152,6 +5186,7 @@ ORACLES: dict[str, str] = {
     "streaming_session_parity": Q_STREAMING_SESSION_PARITY_SQL,
     "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
     "pq_fixture": Q_PQ_FIXTURE_SQL,
+    "pq_topk": Q_PQ_TOPK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "ksc_triad": Q_KSC_TRIAD_SQL,

@@ -204,3 +204,24 @@ def test_pq_codes_quantization(spark):
     assert sampled.agg(F.max("pq_sq_err")).first()[0] < 4.0
     with _pytest.raises(ValueError):
         pq_codes(emb, "vec_id", "embedding", m=3)
+
+
+def test_pq_topk_adc(spark):
+    """ADC top-k: planted-twin sources are recalled at rank 1 (their code
+    achieves the per-subspace minimum, so no other code can beat it), ADC
+    distances are non-negative and rounded, and k bounds the fan-out."""
+    from pyspark.sql import functions as F
+
+    from spark_pit.datagen import blobs_table
+    from spark_pit.operators.similarity import pq_topk
+
+    emb = blobs_table(spark, plant_twins=8)
+    db = emb.where(F.col("vec_id") < 10000)
+    qs = emb.where(F.col("vec_id") >= 10000)
+    pdf = pq_topk(db, qs, "vec_id", "embedding", k=3).toPandas()
+    assert len(pdf) == 24  # 8 queries x k=3
+    assert (pdf["adc_dist"] >= 0).all()
+    assert pdf["rk"].isin([1, 2, 3]).all()
+    for t in range(8):
+        mine = pdf[pdf["qid"] == 10000 + t]
+        assert t in set(mine["nid"]), t  # source recalled in top-3
