@@ -495,3 +495,65 @@ def connected_components(
         if changed == 0:
             break
     return lab.select(entity, F.col("n").alias("node"), F.col("c").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame, entity: str, n_iter: int = 6, damping: float = 0.85
+) -> DataFrame:
+    """PageRank per entity graph (undirected: each edge contributes both
+    directions, networkx's nx.pagerank convention for Graph inputs) as a
+    fixed-K iteration of DataFrame joins:
+
+        pr_k(n) = (1-d)/N + d * sum_{m in nbrs(n)} pr_{k-1}(m) / deg(m)
+
+    Cross-engine determinism (the mean_shift round-3 discipline, NOT the
+    double->decimal cast): iterates live as INT64 NANO-UNITS. Every
+    float step is a single correctly-rounded IEEE op sequence both
+    engines share — per-edge contribution floor(q/deg + 0.5), per-node
+    mix floor((1-d)*1e9/N + d*S + 0.5) — and everything between is exact
+    integer arithmetic, so a DuckDB oracle unrolling the identical K
+    stages matches bit-for-bit. Output keeps the rank as INTEGER nanos
+    (pagerank_nano) — no float ever leaves the operator.
+
+    Scale: per step one groupBy(node) shuffle + lineage truncation via
+    localCheckpoint — the same K*(join + partial agg) shape as
+    eigenvector_centrality; degrees computed once.
+    """
+    d = float(damping)
+    und = _undirected(edges, entity)
+    deg = und.groupBy(entity, "n").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.groupBy(entity).agg(F.count(F.lit(1)).alias("nn"))
+    base = deg.join(F.broadcast(n_nodes), entity)
+    # pr_0 = 1/N in nanos: one IEEE divide + floor, identical cross-engine
+    pr = base.select(
+        entity, "n", "deg", "nn",
+        F.floor(F.lit(1e9) / F.col("nn").cast("double") + F.lit(0.5))
+        .cast("long").alias("q"),
+    )
+    teleport_nano = (1.0 - d) * 1e9
+    for _ in range(n_iter):
+        contrib = pr.select(
+            entity,
+            F.col("n").alias("m"),
+            F.floor(
+                F.col("q").cast("double") / F.col("deg").cast("double") + F.lit(0.5)
+            ).cast("long").alias("c"),
+        )
+        s = (
+            und.join(contrib, [entity, "m"])
+            .groupBy(entity, "n")
+            .agg(F.sum("c").alias("s"))  # exact integer sum
+        )
+        pr = (
+            base.join(s, [entity, "n"], "left")
+            .select(
+                entity, "n", "deg", "nn",
+                F.floor(
+                    F.lit(teleport_nano) / F.col("nn").cast("double")
+                    + F.lit(d) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    + F.lit(0.5)
+                ).cast("long").alias("q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(entity, F.col("n").alias("node"), F.col("q").alias("pagerank_nano"))

@@ -3466,6 +3466,64 @@ FROM v{n_iter} v JOIN nrm n ON v.user_id = n.user_id""")
 Q_EIGEN_CENTRALITY_SQL = _eigen_sql(8)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (the one classic network descriptor beside the reference's
+    nx centrality set, feature.py:4601-4609 family) on the same per-user
+    ε-graph: K=6 iterations in INT64 nano-units — every float step is a
+    correctly-rounded IEEE op sequence shared by both engines (the
+    mean_shift discipline; no double→decimal casts), the output is an
+    integer, and the oracle unrolls the identical K stages."""
+    from spark_pit.operators.graph import contact_edges, pagerank
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "value")
+    edges = contact_edges(ev, "user_id", "event_id", "value", cutoff=0.3)
+    return pagerank(edges, "user_id", n_iter=6)
+
+
+def _pagerank_sql(n_iter: int = 6, damping: float = 0.85) -> str:
+    d = damping
+    tele = (1.0 - d) * 1e9
+    parts = [
+        f"WITH {_EPS_EDGES_SQL.replace('edges AS (', 'edges AS MATERIALIZED (')},\n"
+        "deg AS MATERIALIZED (\n"
+        "  SELECT user_id, n, count(*) AS deg FROM edges GROUP BY user_id, n\n"
+        "),\n"
+        "nn AS MATERIALIZED (SELECT user_id, count(*) AS nn FROM deg GROUP BY user_id),\n"
+        "base AS MATERIALIZED (\n"
+        "  SELECT d.user_id, d.n, d.deg, t.nn FROM deg d JOIN nn t ON d.user_id = t.user_id\n"
+        "),\n"
+        "v0 AS MATERIALIZED (\n"
+        "  SELECT user_id, n, deg, nn,\n"
+        "         CAST(floor(1e9 / CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS q\n"
+        "  FROM base\n"
+        ")"
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT user_id, n AS m,
+         CAST(floor(CAST(q AS DOUBLE) / CAST(deg AS DOUBLE) + 0.5) AS BIGINT) AS c
+  FROM v{k - 1}
+),
+s{k} AS MATERIALIZED (
+  SELECT e.user_id, e.n, sum(c.c) AS s
+  FROM edges e JOIN c{k} c ON e.user_id = c.user_id AND e.m = c.m
+  GROUP BY e.user_id, e.n
+),
+v{k} AS MATERIALIZED (
+  SELECT b.user_id, b.n, b.deg, b.nn,
+         CAST(floor({tele!r} / CAST(b.nn AS DOUBLE)
+                    + {d!r} * CAST(coalesce(s.s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS q
+  FROM base b LEFT JOIN s{k} s ON b.user_id = s.user_id AND b.n = s.n
+)""")
+    parts.append(f"""
+SELECT user_id, n AS node, q AS pagerank_nano FROM v{n_iter}""")
+    return "".join(parts)
+
+
+Q_PAGERANK_SQL = _pagerank_sql(6)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (reference nx.connected_components prerequisite
     of the global graph stats, feature.py:4601-4609) on the per-user
@@ -4990,6 +5048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bisecting_checksums": q_bisecting_checksums,
     "pq_fixture": q_pq_fixture,
     "pq_topk": q_pq_topk,
+    "pagerank": q_pagerank,
     # --- round-4 corpus-hygiene / corpus-LM additions (never certified;
     # dup_ngram_stats + decontaminate were accidentally registered at
     # 107-108, outside every window — moved up before first certification)
@@ -5016,7 +5075,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "shell_composition_3d": q_shell_composition_3d,
-    "kmeans_fixture": q_kmeans_fixture,
     "pca_checksums": q_pca_checksums,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
@@ -5031,6 +5089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lda_fixture": q_lda_fixture,
     "agglomerative_fixture": q_agglomerative_fixture,
     "bisecting_fixture": q_bisecting_fixture,
+    "kmeans_fixture": q_kmeans_fixture,
     "repetition_stats": q_repetition_stats,
     "audio_checksums": q_audio_checksums,
     "frame_sample_checksums": q_frame_sample_checksums,
@@ -5187,6 +5246,7 @@ ORACLES: dict[str, str] = {
     "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
     "pq_fixture": Q_PQ_FIXTURE_SQL,
     "pq_topk": Q_PQ_TOPK_SQL,
+    "pagerank": Q_PAGERANK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "ksc_triad": Q_KSC_TRIAD_SQL,

@@ -240,3 +240,45 @@ def test_betweenness_sampled_sources(spark):
     assert set(top3) == {3, 7, 8}
     for v in e:
         assert abs(s[v] - e[v]) < 0.25, (v, s[v], e[v])
+
+
+def test_pagerank_properties(spark):
+    """PageRank on a known star + path fixture: per-entity ranks sum to
+    ~1e9 nanos, the star center outranks every leaf, symmetric nodes tie
+    exactly (integer iterates), and a brute-force numpy power iteration
+    with the SAME nano-quantization reproduces the values bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spark_pit.operators.graph import pagerank
+
+    # entity 1: star 1-2, 1-3, 1-4; entity 2: path 1-2-3
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": [1, 1, 1, 2, 2], "a": [1, 1, 1, 1, 2], "b": [2, 3, 4, 2, 3]}
+        )
+    )
+    out = pagerank(edges, "g", n_iter=6).toPandas()
+    for g, grp in out.groupby("g"):
+        total = grp["pagerank_nano"].sum()
+        assert abs(total - 1_000_000_000) < 100, (g, total)  # floor drift only
+    star = out[out["g"] == 1].set_index("node")["pagerank_nano"]
+    assert star[1] > star[2] == star[3] == star[4]
+    path = out[out["g"] == 2].set_index("node")["pagerank_nano"]
+    assert path[2] > path[1] == path[3]
+    # brute-force twin with identical quantization
+    for g, nbrs in ((1, {1: [2, 3, 4], 2: [1], 3: [1], 4: [1]}),
+                    (2, {1: [2], 2: [1, 3], 3: [2]})):
+        nodes = sorted(nbrs)
+        nn = len(nodes)
+        q = {n: int(np.floor(1e9 / nn + 0.5)) for n in nodes}
+        for _ in range(6):
+            c = {n: int(np.floor(q[n] / len(nbrs[n]) + 0.5)) for n in nodes}
+            s = {n: sum(c[m] for m in nbrs[n]) for n in nodes}
+            q = {
+                n: int(np.floor(0.15e9 / nn + 0.85 * s[n] + 0.5)) for n in nodes
+            }
+        got = out[out["g"] == g].set_index("node")["pagerank_nano"]
+        for n in nodes:
+            assert int(got[n]) == q[n], (g, n, int(got[n]), q[n])
