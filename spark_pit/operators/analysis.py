@@ -843,3 +843,50 @@ def gmm_clusters_em(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("__g", F.lit(0))
     return prepped.groupBy("__g").applyInPandas(fit, out_schema).drop("__g")
+
+
+def sketch_accuracy_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-vs-exact audit for the two estimators a 100 TB pipeline
+    substitutes for exact global answers: HyperLogLog++ distinct counts
+    (approx_count_distinct — one pass, constant memory, vs the exact
+    count-distinct shuffle) and Greenwald-Khanna approximate quantiles
+    (percentile_approx — vs the exact full-sort percentile). Emits both
+    answers plus boolean within-tolerance verdicts; the pinned oracle
+    asserts the exact values bit-for-bit and the verdicts TRUE, so a
+    sketch regression (or a wrong rsd/accuracy plumb-through) flips the
+    gate without pinning the engine's sketch internals."""
+    exact_q = [float(q) for q in quantiles]
+    agg = df.agg(
+        F.countDistinct(key_col).cast("long").alias("exact_distinct"),
+        F.approx_count_distinct(key_col, rsd).cast("long").alias("hll_distinct"),
+        F.expr(
+            f"percentile({value_col}, array({','.join(str(q) for q in exact_q)}))"
+        ).alias("__pe"),
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(q) for q in exact_q]), F.lit(accuracy)
+        ).alias("__pa"),
+    )
+    hll_ok = (
+        F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
+        <= F.col("exact_distinct") * 3 * rsd
+    ).alias("hll_within_3rsd")
+    # GK bound: rank error <= 1/accuracy of n — compare VALUES at a loose
+    # relative tolerance instead (value-space bound needs the density;
+    # 1% holds with huge margin on the test distributions)
+    q_ok = F.aggregate(
+        F.zip_with(
+            F.col("__pe").cast("array<double>"),
+            F.col("__pa").cast("array<double>"),
+            lambda e, a: (F.abs(e - a) <= F.abs(e) * 0.01 + F.lit(1e-9)),
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    ).alias("quantiles_within_1pct")
+    return agg.select("exact_distinct", hll_ok, q_ok)

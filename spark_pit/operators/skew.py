@@ -437,3 +437,50 @@ def _salted_path(
         .cogroup(sn_k.groupBy("__se", "__sc"))
         .applyInPandas(kern, out_schema)
     )
+
+
+def morton_code(x, y, bits: int = 16):
+    """Column expression: interleave the low ``bits`` bits of two
+    non-negative integer columns into a Z-order (Morton) key — the
+    data-LAYOUT primitive behind multi-dimensional file clustering
+    (Iceberg/Delta Z-ORDER BY): rows close in (x, y) land close in the
+    1-D sort order, so min/max file statistics prune on BOTH columns.
+    Pure integer bit arithmetic (shifts + masks), bit-identical in any
+    engine."""
+    code = F.lit(0).cast("long")
+    xs = F.col(x).cast("long") if isinstance(x, str) else x.cast("long")
+    ys = F.col(y).cast("long") if isinstance(y, str) else y.cast("long")
+    for i in range(bits):
+        bit = F.lit(1 << i).cast("long")
+        code = (
+            code
+            + F.shiftleft(xs.bitwiseAND(bit), i)
+            + F.shiftleft(ys.bitwiseAND(bit), i + 1)
+        )
+    return code
+
+
+def zorder_layout(
+    df,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 16,
+):
+    """Assign each row its Z-order key and target file id (equal-width
+    key-range buckets over the interleaved space). At write time this is
+    `repartitionByRange(morton)` + per-file min/max stats; here the
+    assignment itself is the testable artifact: a zero-shuffle projection
+    (the range bucketing below uses the STATIC key space, not sampled
+    quantiles, so no pre-pass and no exchange — deterministic in any
+    engine)."""
+    code = morton_code(x_col, y_col, bits)
+    span = 1 << (2 * bits)
+    width = span // n_files
+    return df.withColumn("zorder_key", code).withColumn(
+        "file_id",
+        F.least(
+            (F.col("zorder_key") / F.lit(width)).cast("long"),
+            F.lit(n_files - 1).cast("long"),
+        ).cast("int"),
+    )

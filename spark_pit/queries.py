@@ -3524,6 +3524,68 @@ SELECT user_id, n AS node, q AS pagerank_nano FROM v{n_iter}""")
 Q_PAGERANK_SQL = _pagerank_sql(6)
 
 
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact audit (the 100 TB substitutions): HLL++ distinct
+    count and GK approximate quantiles, each compared against its exact
+    in-plan twin. The oracle computes the exact distinct count itself
+    (sf-adaptive, bit-exact) and pins both tolerance verdicts TRUE."""
+    from spark_pit.operators.analysis import sketch_accuracy_stats
+
+    return sketch_accuracy_stats(_ev(spark, sf_dir), "user_id", "value")
+
+
+Q_SKETCH_ACCURACY_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS hll_within_3rsd,
+       TRUE AS quantiles_within_1pct
+FROM events
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout assignment — the multi-dimensional file
+    clustering primitive (Iceberg/Delta Z-ORDER BY): interleave the low
+    16 bits of (user_id, event_id mod 2^16) into the sort key and assign
+    equal-width key-range file buckets. Pure integer bit arithmetic,
+    zero shuffles; the oracle replays the identical interleave."""
+    from spark_pit.operators.skew import zorder_layout
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("ux"),
+        F.pmod(F.col("event_id"), F.lit(65536)).alias("ey"),
+    )
+    return zorder_layout(ev, "ux", "ey", n_files=16, bits=16).select(
+        "event_id", "zorder_key", "file_id"
+    )
+
+
+def _zorder_sql(bits: int = 16, n_files: int = 16) -> str:
+    terms_x = " + ".join(
+        f"((ux & {1 << i}) << {i})" for i in range(bits)
+    )
+    terms_y = " + ".join(
+        f"((ey & {1 << i}) << {i + 1})" for i in range(bits)
+    )
+    width = (1 << (2 * bits)) // n_files
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         ((user_id % 65536) + 65536) % 65536 AS ux,
+         ((event_id % 65536) + 65536) % 65536 AS ey
+  FROM events
+)
+SELECT event_id,
+       CAST({terms_x} + {terms_y} AS BIGINT) AS zorder_key,
+       CAST(least(({terms_x} + {terms_y}) // {width}, {n_files - 1}) AS INT)
+         AS file_id
+FROM base
+"""
+
+
+Q_ZORDER_SQL = _zorder_sql(16, 16)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (reference nx.connected_components prerequisite
     of the global graph stats, feature.py:4601-4609) on the per-user
@@ -5049,6 +5111,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_fixture": q_pq_fixture,
     "pq_topk": q_pq_topk,
     "pagerank": q_pagerank,
+    "sketch_accuracy": q_sketch_accuracy,
+    "zorder_layout": q_zorder_layout,
     # --- round-4 corpus-hygiene / corpus-LM additions (never certified;
     # dup_ngram_stats + decontaminate were accidentally registered at
     # 107-108, outside every window — moved up before first certification)
@@ -5074,8 +5138,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_asof_parity": q_streaming_asof_parity,
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
-    "shell_composition_3d": q_shell_composition_3d,
-    "pca_checksums": q_pca_checksums,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
     "leakage_safe_split": q_leakage_safe_split,
@@ -5090,6 +5152,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agglomerative_fixture": q_agglomerative_fixture,
     "bisecting_fixture": q_bisecting_fixture,
     "kmeans_fixture": q_kmeans_fixture,
+    "shell_composition_3d": q_shell_composition_3d,
+    "pca_checksums": q_pca_checksums,
     "repetition_stats": q_repetition_stats,
     "audio_checksums": q_audio_checksums,
     "frame_sample_checksums": q_frame_sample_checksums,
@@ -5247,6 +5311,8 @@ ORACLES: dict[str, str] = {
     "pq_fixture": Q_PQ_FIXTURE_SQL,
     "pq_topk": Q_PQ_TOPK_SQL,
     "pagerank": Q_PAGERANK_SQL,
+    "sketch_accuracy": Q_SKETCH_ACCURACY_SQL,
+    "zorder_layout": Q_ZORDER_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "ksc_triad": Q_KSC_TRIAD_SQL,

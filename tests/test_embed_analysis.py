@@ -142,3 +142,24 @@ def test_gmm_em_kernel_grouped_path(spark):
         assert sub.groupby("blob")["cluster"].nunique().max() == 1, g
         assert sub["cluster"].nunique() == 2, g
         assert sub["max_prob"].min() > 0.999, g
+
+
+def test_sketch_accuracy_stats(spark):
+    """HLL++ and GK sketches agree with their exact twins within the
+    documented tolerances on a 10k-row frame with 137 distinct keys."""
+    import pandas as pd
+
+    from spark_pit.operators.analysis import sketch_accuracy_stats
+
+    pdf = pd.DataFrame(
+        {
+            "k": [i % 137 for i in range(10000)],
+            "v": [(i * 7919 % 10007) / 10.0 for i in range(10000)],
+        }
+    )
+    out = sketch_accuracy_stats(
+        spark.createDataFrame(pdf), "k", "v"
+    ).collect()[0]
+    assert out["exact_distinct"] == 137
+    assert out["hll_within_3rsd"] is True
+    assert out["quantiles_within_1pct"] is True

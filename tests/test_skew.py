@@ -112,3 +112,30 @@ def test_salted_fans_out_tasks(spark):
         .count()
     )
     assert n_chunks > 10
+
+
+def test_morton_zorder_layout(spark):
+    """Z-order: the interleave matches a bit-twiddling brute force, keys
+    are unique when (x, y) are, and file ids are bounded + monotone in
+    the key."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spark_pit.operators.skew import zorder_layout
+
+    rows = [(i, (i * 37) % 65536, (i * 61) % 65536) for i in range(500)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["rid", "x", "y"]))
+    out = zorder_layout(df, "x", "y", n_files=16, bits=16).toPandas()
+
+    def brute(x, y):
+        c = 0
+        for i in range(16):
+            c |= ((x >> i) & 1) << (2 * i)
+            c |= ((y >> i) & 1) << (2 * i + 1)
+        return c
+
+    for _, r in out.iterrows():
+        assert r["zorder_key"] == brute(int(r["x"]), int(r["y"]))
+    assert out["file_id"].between(0, 15).all()
+    s = out.sort_values("zorder_key")
+    assert (s["file_id"].diff().dropna() >= 0).all()  # monotone buckets
