@@ -531,3 +531,44 @@ def chunk_stats_strided(
             F.max_by("tok", "pos").alias("last_token"),
         )
     )
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Longest CONTIGUOUS cross-document duplicated span per document —
+    the position-aware sharpening of dup_ngram_stats (the signal behind
+    exact-substring dedup a la Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better", computed here at n-token
+    granularity instead of a suffix array): consecutive duplicated
+    n-gram positions are grouped into runs via the pos - row_number
+    trick (one per-doc window), and a run of r grams covers r + n - 1
+    tokens. Plan: the dup_ngram doc-frequency semi-join (two
+    hash-partitioned shuffles on the gram key) + one per-doc window —
+    no all-pairs anything. Returns
+    (id, n_dup_positions, max_dup_run, max_dup_span_tokens)."""
+    from pyspark.sql import Window
+
+    grams = _gram_rows(df, id_col, text_col, n)
+    docfreq = grams.groupBy("gh").agg(F.countDistinct(id_col).alias("df"))
+    duppos = grams.join(docfreq.where(F.col("df") > 1), "gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        duppos.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.sum("__run").cast("long").alias("n_dup_positions"),
+        F.max("__run").cast("long").alias("max_dup_run"),
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_dup_positions": 0, "max_dup_run": 0})
+        .select(
+            id_col, "n_dup_positions", "max_dup_run",
+            F.when(F.col("max_dup_run") > 0, F.col("max_dup_run") + (n - 1))
+            .otherwise(F.lit(0)).cast("long").alias("max_dup_span_tokens"),
+        )
+    )

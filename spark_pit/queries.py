@@ -2491,6 +2491,47 @@ FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 """
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest contiguous cross-document duplicated span per document
+    (round 4 cont.): position-aware exact-substring dedup signal at
+    8-gram granularity; runs of consecutive duplicated positions via the
+    pos − row_number trick."""
+    from spark_pit.operators.textstats import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir), "doc_id", "text", n=8)
+
+
+Q_DUP_SPAN_STATS_SQL = _GRAM_SQL_COMMON + """,
+docfreq AS (
+  SELECT gh FROM h GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+),
+duppos AS (
+  SELECT h.doc_id, h.pos FROM h SEMI JOIN docfreq USING (gh)
+),
+runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM duppos
+),
+agg AS (
+  SELECT doc_id, count(*) AS run FROM runs GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_positions,
+         CAST(max(run) AS BIGINT) AS max_dup_run
+  FROM agg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_dup_positions, 0) AS n_dup_positions,
+       coalesce(p.max_dup_run, 0) AS max_dup_run,
+       CAST(CASE WHEN coalesce(p.max_dup_run, 0) > 0
+                 THEN p.max_dup_run + 7 ELSE 0 END AS BIGINT)
+         AS max_dup_span_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (round 4): flag documents whose distinct
     8-gram hashes overlap the probe corpus (stand-in probe set: docs with
@@ -5117,6 +5158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dup_ngram_stats + decontaminate were accidentally registered at
     # 107-108, outside every window — moved up before first certification)
     "dup_ngram_stats": q_dup_ngram_stats,
+    "dup_span_stats": q_dup_span_stats,
     "decontaminate": q_decontaminate,
     "unigram_surprisal": q_unigram_surprisal,
     "build_vocab": q_build_vocab,
@@ -5135,7 +5177,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "knn_ann": q_knn_ann,
     "embedding_neardup": q_embedding_neardup,
-    "streaming_asof_parity": q_streaming_asof_parity,
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "phash_neardup": q_phash_neardup,
@@ -5152,6 +5193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agglomerative_fixture": q_agglomerative_fixture,
     "bisecting_fixture": q_bisecting_fixture,
     "kmeans_fixture": q_kmeans_fixture,
+    "streaming_asof_parity": q_streaming_asof_parity,
     "shell_composition_3d": q_shell_composition_3d,
     "pca_checksums": q_pca_checksums,
     "repetition_stats": q_repetition_stats,
@@ -5334,6 +5376,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dup_ngram_stats": Q_DUP_NGRAM_STATS_SQL,
+    "dup_span_stats": Q_DUP_SPAN_STATS_SQL,
     "decontaminate": Q_DECONTAMINATE_SQL,
     "unigram_surprisal": Q_UNIGRAM_SURPRISAL_SQL,
     "build_vocab": Q_BUILD_VOCAB_SQL,

@@ -424,3 +424,36 @@ def test_chunk_stats_strided_memberships(spark):
     assert list(out["last_token"]) == ["d", "f", "f"]
     with pytest.raises(ValueError):
         textstats.chunk_stats_strided(df, "doc_id", "text", max_tokens=4, stride=5)
+
+
+def test_dup_span_stats_runs(spark):
+    """Contiguous duplicated runs: two docs sharing a 10-token block have
+    max_dup_run = 3 (three consecutive duplicated 8-grams) covering
+    10 tokens; a unique doc reports zeros."""
+    import pandas as pd
+
+    from spark_pit.operators.textstats import dup_span_stats
+
+    block = "a b c d e f g h i j"  # 10 shared tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "x1 x2 " + block + " y1 y2",
+                "z1 " + block + " w1 w2 w3",
+                "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12",
+            ],
+        }
+    )
+    out = (
+        dup_span_stats(spark.createDataFrame(docs), "doc_id", "text", n=8)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # a 10-token shared block yields 10-8+1 = 3 duplicated gram positions
+    assert out.loc[1, "max_dup_run"] == 3
+    assert out.loc[1, "max_dup_span_tokens"] == 10
+    assert out.loc[2, "max_dup_run"] == 3
+    assert out.loc[2, "n_dup_positions"] == 3
+    assert out.loc[3, "max_dup_run"] == 0
+    assert out.loc[3, "max_dup_span_tokens"] == 0
