@@ -295,3 +295,73 @@ def asof_join_cursor(
         .cogroup(right.groupBy(*on))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def asof_join_multi(
+    left: DataFrame,
+    rights: list[tuple],
+    on: list[str],
+    left_ts: str,
+    strict: bool = True,
+) -> DataFrame:
+    """FEATURE-STORE point-in-time join: one event stream against K
+    snapshot feature groups in a SINGLE window pass. ``rights`` is a list
+    of (group_name, df, right_ts, value_cols[, order_col]); each event
+    row gets every group's most recent strictly-before (or at-or-before)
+    values as ``{group}_{col}`` + ``{group}_ts``; among equal snapshot
+    timestamps within a group the order_col-latest row wins (REQUIRED
+    whenever a group can hold duplicate (key, ts) rows — without it the
+    pick among exact ties is partition-order dependent).
+
+    This is the one-shuffle generalization of asof_join_window: all K
+    snapshot streams are tagged and unioned with the events, and ONE
+    (key, ts, tag, seq) sort exchange carries K independent
+    last-ignore-nulls column families (each group's carried columns are
+    null on every other group's rows, so the window states never
+    interact). K separate as-of joins would pay K sort shuffles of the
+    full event stream — the dominant cost at 10^12 events; this pays
+    exactly one, and AQE can still skew-split the single exchange.
+    Same tie semantics as asof_join_window (strict ⇒ zero temporal
+    leakage; right_order-latest wins among equal snapshot timestamps).
+    """
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+    norm = [(r[0], r[1], r[2], list(r[3]), (r[4] if len(r) > 4 else None))
+            for r in rights]
+    carried: list[str] = []
+    lhs = left.withColumn(_TAG, F.lit(left_tag)).withColumn(_SEQ, F.lit(0))
+    for g, rdf, rts, vcols, _ in norm:
+        for c in vcols:
+            lhs = lhs.withColumn(
+                f"{g}_{c}", F.lit(None).cast(rdf.schema[c].dataType)
+            )
+            carried.append(f"{g}_{c}")
+        lhs = lhs.withColumn(
+            f"{g}_ts", F.lit(None).cast(rdf.schema[rts].dataType)
+        )
+        carried.append(f"{g}_ts")
+    parts = [lhs]
+    for g, rdf, rts, vcols, order_col in norm:
+        rhs = rdf.select(
+            *on,
+            F.col(rts).alias(left_ts),
+            F.lit(right_tag).alias(_TAG),
+            (F.col(order_col) if order_col else F.lit(0))
+            .cast("long").alias(_SEQ),
+            *[F.col(c).alias(f"{g}_{c}") for c in vcols],
+            F.col(rts).alias(f"{g}_ts"),
+        )
+        for col in lhs.columns:
+            if col not in rhs.columns:
+                rhs = rhs.withColumn(col, F.lit(None).cast(lhs.schema[col].dataType))
+        parts.append(rhs.select(*lhs.columns))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(left_ts).asc(), F.col(_TAG).asc(), F.col(_SEQ).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    for c in carried:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.where(F.col(_TAG) == left_tag).drop(_TAG, _SEQ)

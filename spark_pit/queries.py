@@ -81,6 +81,76 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_asof_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store PIT join (round 4 cont.): events against TWO snapshot
+    feature groups — purchases (snapshot_id + value) and signups (id) — in
+    ONE window pass (operators/asof.asof_join_multi). K separate as-of
+    joins would sort-shuffle the event stream K times; this plan pays
+    exactly one (key, ts, tag) exchange carrying both groups' carried
+    column families. The oracle runs the two classic ranked backward
+    joins independently and stitches by event_id — different plan, same
+    rows."""
+    from spark_pit.operators.asof import asof_join_multi
+
+    ev = _ev(spark, sf_dir)
+    left = ev.select("event_id", "user_id", "ts")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("snapshot_ts"),
+        F.col("event_id").alias("snapshot_id"), F.col("value").alias("snap_value"),
+    )
+    sig = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("sig_ts"), F.col("event_id").alias("id"),
+    )
+    out = asof_join_multi(
+        left,
+        [
+            ("pur", pur, "snapshot_ts", ["snapshot_id", "snap_value"], "snapshot_id"),
+            ("sig", sig, "sig_ts", ["id"], "id"),
+        ],
+        ["user_id"], "ts", strict=True,
+    )
+    return out.select(
+        "event_id", "user_id", ts_us("ts").alias("ts_us"),
+        F.col("pur_snapshot_id"),
+        F.round("pur_snap_value", 6).alias("pur_snap_value"),
+        ts_us("pur_ts").alias("pur_ts_us"),
+        F.col("sig_id"),
+        ts_us("sig_ts").alias("sig_ts_us"),
+    )
+
+
+Q_ASOF_MULTI_SQL = f"""
+WITH snaps AS ({_SNAPS_SQL}),
+pur AS (
+  SELECT e.event_id, s.snapshot_id, s.snap_value, s.snapshot_ts,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY s.snapshot_ts DESC, s.snapshot_id DESC) AS rn
+  FROM events e
+  LEFT JOIN snaps s ON e.user_id = s.user_id AND s.snapshot_ts < e.ts
+),
+sig AS (
+  SELECT e.event_id, g.event_id AS sig_id, g.ts AS sig_ts,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY g.ts DESC, g.event_id DESC) AS rn
+  FROM events e
+  LEFT JOIN (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'signup') g
+    ON e.user_id = g.user_id AND g.ts < e.ts
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       p.snapshot_id AS pur_snapshot_id,
+       round(p.snap_value, 6) AS pur_snap_value,
+       epoch_us(p.snapshot_ts) AS pur_ts_us,
+       s.sig_id,
+       epoch_us(s.sig_ts) AS sig_ts_us
+FROM events e
+LEFT JOIN (SELECT * FROM pur WHERE rn = 1) p ON e.event_id = p.event_id
+LEFT JOIN (SELECT * FROM sig WHERE rn = 1) s ON e.event_id = s.event_id
+"""
+
+
 def q_asof_join_inclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-or-before tie semantics (strict=False): a snapshot stamped exactly
     at the event timestamp IS visible — the other side of the §7 tie
@@ -5133,6 +5203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pit_fused": q_pit_fused,
     "pit_salted": q_pit_salted,
     "asof_join": q_asof_join,
+    "asof_join_multi": q_asof_join_multi,
     "image_pit_checksums": q_image_pit_checksums,
     # --- round-4 late additions (never certified — in-window; three
     # r03-certified rows moved to positions 51+ to make room)
@@ -5176,7 +5247,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh": q_ann_lsh,
     "knn_ann": q_knn_ann,
-    "embedding_neardup": q_embedding_neardup,
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "phash_neardup": q_phash_neardup,
@@ -5194,6 +5264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bisecting_fixture": q_bisecting_fixture,
     "kmeans_fixture": q_kmeans_fixture,
     "streaming_asof_parity": q_streaming_asof_parity,
+    "embedding_neardup": q_embedding_neardup,
     "shell_composition_3d": q_shell_composition_3d,
     "pca_checksums": q_pca_checksums,
     "repetition_stats": q_repetition_stats,
@@ -5289,6 +5360,7 @@ ORACLES: dict[str, str] = {
     "pit_fused": Q_PIT_FUSED_SQL,
     "pit_salted": Q_PIT_FUSED_SQL,
     "asof_join": Q_ASOF_SQL,
+    "asof_join_multi": Q_ASOF_MULTI_SQL,
     "asof_join_inclusive": Q_ASOF_INCLUSIVE_SQL,
     "asof_join_nearest": Q_ASOF_NEAREST_SQL,
     "diverse_sample": Q_DIVERSE_SAMPLE_SQL,

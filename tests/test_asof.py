@@ -233,3 +233,56 @@ def test_asof_forward_strict_and_inclusive(spark):
     assert incl.loc[1, "next_sid"] == 7          # at-or-after takes t=10
     assert strict.loc[2, "next_sid"] == 5 and incl.loc[2, "next_sid"] == 5
     assert pd.isna(strict.loc[3, "next_sid"]) and pd.isna(incl.loc[3, "next_sid"])
+
+
+def test_asof_join_multi_one_shuffle_and_equivalence(spark, sf_dir):
+    """The multi-group PIT join must (a) equal two independent
+    asof_join_window calls column-for-column and (b) compile to ONE sort
+    exchange over the event stream, not K."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from spark_pit.operators.asof import asof_join_multi, asof_join_window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"), F.col("value").alias("pval"),
+    )
+    sig = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("sts"), F.col("event_id").alias("sid"),
+    )
+    multi = asof_join_multi(
+        left,
+        [("p", pur, "pts", ["pid", "pval"], "pid"),
+         ("s", sig, "sts", ["sid"], "sid")],
+        ["user_id"], "ts",
+    ).toPandas().set_index("event_id").sort_index()
+    a = asof_join_window(
+        left, pur, ["user_id"], "ts", "pts", ["pid", "pval"],
+        strict=True, right_order="pid",
+    ).toPandas().set_index("event_id").sort_index()
+    b = asof_join_window(
+        left, sig, ["user_id"], "ts", "sts", ["sid"],
+        strict=True, right_order="sid",
+    ).toPandas().set_index("event_id").sort_index()
+    assert multi["p_pid"].equals(a["asof_pid"])
+    assert multi["p_pval"].equals(a["asof_pval"])
+    assert multi["s_sid"].equals(b["asof_sid"])
+    # plan: exactly one Window sort over the unioned stream
+    import io
+    from contextlib import redirect_stdout
+
+    plan_df = asof_join_multi(
+        left,
+        [("p", pur, "pts", ["pid", "pval"], "pid"),
+         ("s", sig, "sts", ["sid"], "sid")],
+        ["user_id"], "ts",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    n_windows = len(re.findall(r"\(\d+\) Window\b", buf.getvalue()))
+    assert n_windows == 1, buf.getvalue()[:2000]
