@@ -517,3 +517,37 @@ def leakage_safe_split(
         "split",
         F.when(fold < int(val_frac * 1_000_000), F.lit("val")).otherwise(F.lit("train")),
     )
+
+
+def horizon_dedup(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    content_cols: list[str],
+    horizon_s: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """WITHIN-HORIZON event dedup — the batch twin of
+    streaming.streaming_dedup's watermarked first-arrival semantics:
+    an event is a duplicate when an identical (entity, content) event
+    occurred within the previous ``horizon_s`` seconds (CHAINED: in a
+    rapid burst every event after the first is a duplicate of its
+    predecessor, even if the burst as a whole outlasts the horizon —
+    the retry/replay-suppression semantics telemetry pipelines want).
+
+    Plan: ONE window over (entity, content-hash) ordered by (ts,
+    tiebreak) carrying a single lag — exact integer-microsecond
+    arithmetic end to end, no floats, no joins. Returns the input +
+    ``is_dup`` boolean + ``prev_gap_us`` (null on first occurrence)."""
+    from pyspark.sql import Window
+
+    from spark_pit.util import ts_us
+
+    key = F.xxhash64(*[F.col(c).cast("string") for c in content_cols])
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(entity, key).orderBy(*order)
+    gap = ts_us(F.col(ts)) - F.lag(ts_us(F.col(ts))).over(w)
+    return df.withColumn("prev_gap_us", gap).withColumn(
+        "is_dup",
+        F.coalesce(F.col("prev_gap_us") <= int(horizon_s) * 1_000_000, F.lit(False)),
+    )

@@ -2561,6 +2561,36 @@ FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 """
 
 
+def q_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-horizon event dedup (round 4 cont.): identical
+    (user, event_type, value) events repeating inside 10 minutes are
+    flagged as chained duplicates — one lag window, exact
+    integer-microsecond arithmetic."""
+    from spark_pit.operators.dedup import horizon_dedup
+
+    out = horizon_dedup(
+        _ev(spark, sf_dir), "user_id", "ts",
+        ["event_type", "value"], horizon_s=600, tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", ts_us("ts").alias("ts_us"),
+        "prev_gap_us", "is_dup",
+    )
+
+
+Q_HORIZON_DEDUP_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, prev_gap_us,
+       coalesce(prev_gap_us <= 600000000, FALSE) AS is_dup
+FROM (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type, value
+           ORDER BY ts, event_id) AS prev_gap_us
+  FROM events
+)
+"""
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest contiguous cross-document duplicated span per document
     (round 4 cont.): position-aware exact-substring dedup signal at
@@ -5230,6 +5260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 107-108, outside every window — moved up before first certification)
     "dup_ngram_stats": q_dup_ngram_stats,
     "dup_span_stats": q_dup_span_stats,
+    "horizon_dedup": q_horizon_dedup,
     "decontaminate": q_decontaminate,
     "unigram_surprisal": q_unigram_surprisal,
     "build_vocab": q_build_vocab,
@@ -5246,7 +5277,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_mark": q_minhash_dedup_mark,
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh": q_ann_lsh,
-    "knn_ann": q_knn_ann,
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "phash_neardup": q_phash_neardup,
@@ -5264,6 +5294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bisecting_fixture": q_bisecting_fixture,
     "kmeans_fixture": q_kmeans_fixture,
     "streaming_asof_parity": q_streaming_asof_parity,
+    "knn_ann": q_knn_ann,
     "embedding_neardup": q_embedding_neardup,
     "shell_composition_3d": q_shell_composition_3d,
     "pca_checksums": q_pca_checksums,
@@ -5449,6 +5480,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dup_ngram_stats": Q_DUP_NGRAM_STATS_SQL,
     "dup_span_stats": Q_DUP_SPAN_STATS_SQL,
+    "horizon_dedup": Q_HORIZON_DEDUP_SQL,
     "decontaminate": Q_DECONTAMINATE_SQL,
     "unigram_surprisal": Q_UNIGRAM_SURPRISAL_SQL,
     "build_vocab": Q_BUILD_VOCAB_SQL,

@@ -457,3 +457,42 @@ def test_dup_span_stats_runs(spark):
     assert out.loc[2, "n_dup_positions"] == 3
     assert out.loc[3, "max_dup_run"] == 0
     assert out.loc[3, "max_dup_span_tokens"] == 0
+
+
+def test_horizon_dedup_chained(spark):
+    """Chained within-horizon dedup: a burst of identical events flags
+    every follower whose gap to its predecessor is within the horizon,
+    even when the burst outlasts the horizon overall; different content
+    never cross-flags."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from spark_pit.operators.dedup import horizon_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # burst of 3 identical events 400s apart (horizon 600s): chain
+        (1, 10, t0, "click", 1.0),
+        (2, 10, t0 + dt.timedelta(seconds=400), "click", 1.0),
+        (3, 10, t0 + dt.timedelta(seconds=800), "click", 1.0),
+        # same content 700s after the last: outside horizon, not dup
+        (4, 10, t0 + dt.timedelta(seconds=1500), "click", 1.0),
+        # different value at the same instant as event 1: not a dup
+        (5, 10, t0, "click", 2.0),
+        # same content, different user: not a dup
+        (6, 11, t0 + dt.timedelta(seconds=100), "click", 1.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type", "value"])
+    out = (
+        horizon_dedup(
+            spark.createDataFrame(pdf), "user_id", "ts",
+            ["event_type", "value"], horizon_s=600, tiebreak="event_id",
+        )
+        .toPandas().set_index("event_id")
+    )
+    assert out["is_dup"].to_dict() == {
+        1: False, 2: True, 3: True, 4: False, 5: False, 6: False
+    }
+    assert out.loc[2, "prev_gap_us"] == 400_000_000
+    assert pd.isna(out.loc[1, "prev_gap_us"])
