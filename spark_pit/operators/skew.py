@@ -484,3 +484,61 @@ def zorder_layout(
             F.lit(n_files - 1).cast("long"),
         ).cast("int"),
     )
+
+
+def countmin_estimates(
+    df,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cm1",
+):
+    """COUNT-MIN SKETCH hot-key estimation — the constant-memory
+    substitute for an exact per-key count when the key space is huge
+    (the skew-detection pre-pass: route keys whose estimate crosses the
+    hot threshold into the salted path without a full groupBy over the
+    raw key). d hash rows x w buckets; every event increments one bucket
+    per row (portable md5-fold, salted per row); a key's estimate is the
+    min over its d buckets — NEVER an underestimate (the CMS guarantee,
+    asserted row-by-row by the oracle, which replays the identical
+    integer arithmetic).
+
+    Plan: one groupBy((row, bucket)) partial agg over the d-fold fan-out
+    (d x |events| narrow rows, map-side combined into <= d*w sketch
+    rows), then the per-key estimate joins each DISTINCT key against the
+    tiny sketch (broadcast). Returns (key, cm_est)."""
+    def fold(col, i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f"{salt}{i}"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long") % w
+        )
+
+    key = F.col(key_col)
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("r"), fold(key, i).alias("b"))
+                for i in range(d)
+            ])
+        ).alias("rb")
+    ).select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    cms = rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("n"))
+    keys = df.select(key.alias(key_col)).distinct()
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("r"), fold(F.col(key_col), i).alias("b"))
+                for i in range(d)
+            ])
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cms), ["r", "b"])
+        .groupBy(key_col)
+        .agg(F.min("n").cast("long").alias("cm_est"))
+    )

@@ -3683,6 +3683,51 @@ FROM events
 """
 
 
+def q_countmin_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min hot-key estimation over events.user_id (round 4 cont.):
+    full-row exact oracle — DuckDB replays the identical d=4 x w=1024
+    integer sketch (portable md5-fold) — plus the CMS never-underestimate
+    guarantee surfaced as a per-key boolean."""
+    from spark_pit.operators.skew import countmin_estimates
+
+    ev = _ev(spark, sf_dir)
+    est = countmin_estimates(ev, "user_id", d=4, w=1024)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    return est.join(exact, "user_id").select(
+        "user_id", "cm_est", "exact_n",
+        (F.col("cm_est") >= F.col("exact_n")).alias("overestimate_ok"),
+    )
+
+
+Q_COUNTMIN_SQL = """
+WITH folds AS (
+  SELECT user_id, r,
+         CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                                             'cm1' || CAST(r AS VARCHAR))),
+                     1, 15)) AS BIGINT) % 1024 AS b
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)
+),
+cms AS (SELECT r, b, count(*) AS n FROM folds GROUP BY r, b),
+keys AS (
+  SELECT DISTINCT user_id, r,
+         CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                                             'cm1' || CAST(r AS VARCHAR))),
+                     1, 15)) AS BIGINT) % 1024 AS b
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)
+),
+est AS (
+  SELECT k.user_id, CAST(min(c.n) AS BIGINT) AS cm_est
+  FROM keys k JOIN cms c ON k.r = c.r AND k.b = c.b
+  GROUP BY k.user_id
+),
+exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+          FROM events GROUP BY user_id)
+SELECT e.user_id, e.cm_est, x.exact_n,
+       e.cm_est >= x.exact_n AS overestimate_ok
+FROM est e JOIN exact x ON e.user_id = x.user_id
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout assignment — the multi-dimensional file
     clustering primitive (Iceberg/Delta Z-ORDER BY): interleave the low
@@ -5255,6 +5300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "sketch_accuracy": q_sketch_accuracy,
     "zorder_layout": q_zorder_layout,
+    "countmin_hotkeys": q_countmin_hotkeys,
     # --- round-4 corpus-hygiene / corpus-LM additions (never certified;
     # dup_ngram_stats + decontaminate were accidentally registered at
     # 107-108, outside every window — moved up before first certification)
@@ -5276,7 +5322,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_mark": q_minhash_dedup_mark,
     "simhash_neardup": q_simhash_neardup,
-    "ann_lsh": q_ann_lsh,
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "phash_neardup": q_phash_neardup,
@@ -5295,6 +5340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_fixture": q_kmeans_fixture,
     "streaming_asof_parity": q_streaming_asof_parity,
     "knn_ann": q_knn_ann,
+    "ann_lsh": q_ann_lsh,
     "embedding_neardup": q_embedding_neardup,
     "shell_composition_3d": q_shell_composition_3d,
     "pca_checksums": q_pca_checksums,
@@ -5458,6 +5504,7 @@ ORACLES: dict[str, str] = {
     "pagerank": Q_PAGERANK_SQL,
     "sketch_accuracy": Q_SKETCH_ACCURACY_SQL,
     "zorder_layout": Q_ZORDER_SQL,
+    "countmin_hotkeys": Q_COUNTMIN_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "contact_graph_stats": Q_CONTACT_GRAPH_STATS_SQL,
     "ksc_triad": Q_KSC_TRIAD_SQL,

@@ -139,3 +139,27 @@ def test_morton_zorder_layout(spark):
     assert out["file_id"].between(0, 15).all()
     s = out.sort_values("zorder_key")
     assert (s["file_id"].diff().dropna() >= 0).all()  # monotone buckets
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS guarantee on an adversarial skewed key set: every estimate >=
+    the exact count, the hot key's estimate is exact when its buckets are
+    clean, and estimates are partitioning-invariant."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spark_pit.operators.skew import countmin_estimates
+
+    keys = ["hot"] * 500 + [f"k{i}" for i in range(200)] * 2
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    est = countmin_estimates(df, "k", d=4, w=256).toPandas().set_index("k")
+    exact = pd.Series(keys).value_counts()
+    for k, n in exact.items():
+        assert est.loc[k, "cm_est"] >= n, k
+    # the hot key dominates: estimate within collision slack of exact
+    assert est.loc["hot", "cm_est"] >= 500
+    est2 = (
+        countmin_estimates(df.repartition(7), "k", d=4, w=256)
+        .toPandas().set_index("k")
+    )
+    assert (est["cm_est"].sort_index() == est2["cm_est"].sort_index()).all()
