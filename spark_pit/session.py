@@ -37,7 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- Arrow / pandas-UDF path ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_PIT_ARROW_BATCH", "10000"),
+        )
         # --- scan sizing: keep parquet splits near-uniform ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
