@@ -2561,6 +2561,43 @@ FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free expanding target encoding (round 4 cont.): each
+    event's encoding is the mean value over STRICTLY-EARLIER events of
+    the same event_type — the feature-store form of the categorical
+    target encoder (the naive groupBy-mean leaks the row's own target
+    and the future; the expanding row window cannot). Decimal-exact
+    running sum; the mean leaves as INT64 micro-units via an explicit
+    floor(sum*1e6/count + 0.5) chain — round(mean, 6) measurably split
+    the engines on a .5-boundary quotient at sf0.1 (the pagerank
+    nano-unit discipline instead)."""
+    from spark_pit.operators.windows import target_encode_pit
+
+    out = target_encode_pit(
+        _ev(spark, sf_dir), "event_type", "ts", "value", tiebreak="event_id"
+    )
+    return out.select(
+        "event_id", "event_type", ts_us("ts").alias("ts_us"),
+        "te_count",
+        F.floor(
+            F.col("te_sum").cast("double") * F.lit(1000000.0) / F.col("te_count")
+            + F.lit(0.5)
+        ).cast("long").alias("te_mean_micro"),
+    )
+
+
+Q_TARGET_ENCODE_SQL = """
+SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+       CAST(coalesce(count(value) OVER w, 0) AS BIGINT) AS te_count,
+       CAST(floor(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                  * 1000000.0 / count(value) OVER w + 0.5) AS BIGINT)
+         AS te_mean_micro
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
 def q_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-horizon event dedup (round 4 cont.): identical
     (user, event_type, value) events repeating inside 10 minutes are
@@ -5307,6 +5344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_stats": q_dup_ngram_stats,
     "dup_span_stats": q_dup_span_stats,
     "horizon_dedup": q_horizon_dedup,
+    "target_encode": q_target_encode,
     "decontaminate": q_decontaminate,
     "unigram_surprisal": q_unigram_surprisal,
     "build_vocab": q_build_vocab,
@@ -5321,7 +5359,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- highest-value operators (r02/r03-green, re-certified)
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_mark": q_minhash_dedup_mark,
-    "simhash_neardup": q_simhash_neardup,
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "phash_neardup": q_phash_neardup,
@@ -5341,6 +5378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_asof_parity": q_streaming_asof_parity,
     "knn_ann": q_knn_ann,
     "ann_lsh": q_ann_lsh,
+    "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "shell_composition_3d": q_shell_composition_3d,
     "pca_checksums": q_pca_checksums,
@@ -5528,6 +5566,7 @@ ORACLES: dict[str, str] = {
     "dup_ngram_stats": Q_DUP_NGRAM_STATS_SQL,
     "dup_span_stats": Q_DUP_SPAN_STATS_SQL,
     "horizon_dedup": Q_HORIZON_DEDUP_SQL,
+    "target_encode": Q_TARGET_ENCODE_SQL,
     "decontaminate": Q_DECONTAMINATE_SQL,
     "unigram_surprisal": Q_UNIGRAM_SURPRISAL_SQL,
     "build_vocab": Q_BUILD_VOCAB_SQL,

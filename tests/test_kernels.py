@@ -128,3 +128,56 @@ def test_distribution_positions_matches_loop():
             k = 1 if q == 0.0 else int(np.ceil(q * total))
             want = (pos[k - 1] + 1) * 100.0 / L if total else 0.0
             assert out[t, qi] == pytest.approx(want)
+
+
+def test_target_encode_pit_no_leakage(spark):
+    """Expanding target encoding: each row's mean covers strictly-earlier
+    same-category rows only (pandas expanding().mean().shift() twin), the
+    first occurrence is null, and the m-estimate prior path shrinks
+    toward the prior."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from spark_pit.operators.windows import target_encode_pit
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "cat": ["a", "a", "b", "a", "b", "b", "a", "b"],
+            "ts": [t0 + dt.timedelta(seconds=i) for i in range(8)],
+            "value": [10.0, 20.0, 5.0, 30.0, 7.0, 9.0, 40.0, 11.0],
+        }
+    )
+    out = (
+        target_encode_pit(
+            spark.createDataFrame(pdf), "cat", "ts", "value", tiebreak="event_id"
+        )
+        .toPandas().set_index("event_id").sort_index()
+    )
+    twin = (
+        pdf.assign(
+            exp=pdf.groupby("cat")["value"].transform(
+                lambda s: s.expanding().mean().shift()
+            )
+        ).set_index("event_id")
+    )
+    for i in range(8):
+        e, t = out.loc[i, "te_mean"], twin.loc[i, "exp"]
+        if pd.isna(t):
+            assert pd.isna(e), i
+        else:
+            assert e == round(t, 6), (i, e, t)
+    assert out.loc[0, "te_count"] == 0 and pd.isna(out.loc[0, "te_mean"])
+    # prior path: count=0 rows get the prior itself
+    outp = (
+        target_encode_pit(
+            spark.createDataFrame(pdf), "cat", "ts", "value",
+            tiebreak="event_id", prior=15.0, prior_weight=10,
+        )
+        .toPandas().set_index("event_id").sort_index()
+    )
+    assert outp.loc[0, "te_mean"] == 15.0
+    # smoothed value sits between raw expanding mean and the prior
+    assert 10.0 < outp.loc[1, "te_mean"] < 15.0
