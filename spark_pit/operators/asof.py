@@ -327,6 +327,18 @@ def asof_join_multi(
     left_tag, right_tag = (0, 1) if strict else (1, 0)
     norm = [(r[0], r[1], r[2], list(r[3]), (r[4] if len(r) > 4 else None))
             for r in rights]
+    names = [g for g, *_ in norm]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate group names in rights: {names}")
+    taken = set(left.columns)
+    for g, _, _, vcols, _ in norm:
+        for gen in [f"{g}_{c}" for c in vcols] + [f"{g}_ts"]:
+            if gen in taken:
+                raise ValueError(
+                    f"generated column {gen!r} collides with an existing "
+                    "column; rename the group or the left column"
+                )
+            taken.add(gen)
     carried: list[str] = []
     lhs = left.withColumn(_TAG, F.lit(left_tag)).withColumn(_SEQ, F.lit(0))
     for g, rdf, rts, vcols, _ in norm:

@@ -535,17 +535,20 @@ def horizon_dedup(
     predecessor, even if the burst as a whole outlasts the horizon —
     the retry/replay-suppression semantics telemetry pipelines want).
 
-    Plan: ONE window over (entity, content-hash) ordered by (ts,
+    Plan: ONE window over (entity, raw content columns) ordered by (ts,
     tiebreak) carrying a single lag — exact integer-microsecond
-    arithmetic end to end, no floats, no joins. Returns the input +
-    ``is_dup`` boolean + ``prev_gap_us`` (null on first occurrence)."""
+    arithmetic end to end, no floats, no joins. Partitioning by the raw
+    columns (not a 64-bit hash of their stringification) keeps the
+    grouping collision-free and matches the oracle's GROUP BY even for
+    values whose string forms differ but compare equal (-0.0 vs 0.0).
+    Returns the input + ``is_dup`` boolean + ``prev_gap_us`` (null on
+    first occurrence)."""
     from pyspark.sql import Window
 
     from spark_pit.util import ts_us
 
-    key = F.xxhash64(*[F.col(c).cast("string") for c in content_cols])
     order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
-    w = Window.partitionBy(entity, key).orderBy(*order)
+    w = Window.partitionBy(entity, *content_cols).orderBy(*order)
     gap = ts_us(F.col(ts)) - F.lag(ts_us(F.col(ts))).over(w)
     return df.withColumn("prev_gap_us", gap).withColumn(
         "is_dup",

@@ -534,9 +534,6 @@ def pq_codes(
 
     Returns (id, pq_code array<int> length m, pq_sq_err double = exact
     total squared reconstruction error)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
     if dim is None:
         dim = len(base.select("__v").first()["__v"])  # 1-row bounded collect

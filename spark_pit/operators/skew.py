@@ -62,8 +62,11 @@ def _to_us(series: pd.Series) -> np.ndarray:
 def hot_entities(
     events: DataFrame, entity: str, threshold: int
 ) -> list:
-    """Entity keys whose event count exceeds ``threshold`` (driver-side
-    list; hot keys are few by definition)."""
+    """Entity keys whose event count exceeds ``threshold`` — EXACT
+    detection via a full per-key groupBy (driver-side list; hot keys are
+    few by definition). At 10^9+ distinct keys the groupBy's hash state
+    is the bottleneck; prefer hot_entities_countmin, which is
+    constant-memory and never misses a hot key w.h.p."""
     rows = (
         events.groupBy(entity)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -71,6 +74,53 @@ def hot_entities(
         .select(entity)
         .collect()
     )
+    return [r[0] for r in rows]
+
+
+def hot_entities_countmin(
+    events: DataFrame,
+    entity: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 8192,
+    oversample: int = 50,
+) -> list:
+    """Constant-memory hot-key detection: count-min estimates probed on a
+    SAMPLE-derived candidate set — no exact full-key-space groupBy and no
+    full-key distinct anywhere in the plan.
+
+    Two bounded passes over the events:
+    1. candidates — a deterministic md5-fold row sample at rate
+       ``oversample / threshold``: a truly hot key (count > threshold)
+       lands in the sample ~``oversample`` times in expectation, so the
+       miss probability is e^-oversample ≈ 2e-22 at the default; the
+       distinct() then runs over the SAMPLE (|events|/rate rows), not the
+       key space.
+    2. sketch — countmin_estimates builds the d x w CMS (constant-size
+       partial agg) and probes only the candidates (broadcast join).
+
+    CMS never underestimates, so every surviving hot key crosses the
+    threshold; overestimates only route extra keys to the salted path,
+    which is semantics-preserving by construction (asserted by
+    tests/test_skew.py equivalence tests). Returns the hot-key list.
+
+    Caveat: with threshold <= oversample the sample rate clamps to 1 and
+    the candidate distinct degrades to the exact key space — at the
+    scales where this detector matters thresholds are >> 50."""
+    rate_denom = max(1, threshold // oversample)
+    # Per-row deterministic sampling: hash EVERY column so two events of
+    # the same key sample independently (xxhash64 of the key alone would
+    # take all-or-none of a key's rows).
+    row_hash = F.abs(F.xxhash64(*[F.col(c) for c in events.columns]))
+    cand = (
+        events.where(row_hash % rate_denom == 0)
+        .select(entity)
+        .distinct()
+    )
+    est = countmin_estimates(
+        events.select(entity), entity, d=d, w=w, keys=cand
+    )
+    rows = est.where(F.col("cm_est") > threshold).select(entity).collect()
     return [r[0] for r in rows]
 
 
@@ -90,6 +140,7 @@ def pit_features_salted(
     hot_ids: list | None = None,
     hot_threshold: int | None = None,
     tiebreak: str | None = None,
+    hot_detector: str = "countmin",
 ) -> DataFrame:
     """pit_features_cursor semantics with hot entities salted by time chunk.
 
@@ -97,6 +148,12 @@ def pit_features_salted(
     select the salted population; everything else takes the unsalted
     single-group path. With ``hot_ids=None, hot_threshold=None`` every
     entity is salted (used by the equivalence tests).
+
+    ``hot_detector`` picks the detection plan when ``hot_threshold`` is
+    set: "countmin" (default — constant-memory CMS + sampled candidates,
+    the only shape that survives 10^9 distinct keys) or "exact" (full
+    per-key groupBy; useful as the audit baseline). Detection only
+    ROUTES keys; either detector yields identical output.
     """
     from spark_pit.operators.pit import pit_features_bucketed
 
@@ -105,7 +162,12 @@ def pit_features_salted(
     sn = snapshots.select(entity, snap_ts, snap_id)
 
     if hot_ids is None and hot_threshold is not None:
-        hot_ids = hot_entities(ev, entity, hot_threshold)
+        if hot_detector == "countmin":
+            hot_ids = hot_entities_countmin(ev, entity, hot_threshold)
+        elif hot_detector == "exact":
+            hot_ids = hot_entities(ev, entity, hot_threshold)
+        else:
+            raise ValueError(f"unknown hot_detector {hot_detector!r}")
 
     if hot_ids is not None:
         if not hot_ids:
@@ -474,13 +536,17 @@ def zorder_layout(
     (the range bucketing below uses the STATIC key space, not sampled
     quantiles, so no pre-pass and no exchange — deterministic in any
     engine)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31] so 2*bits fits int64, got {bits}")
     code = morton_code(x_col, y_col, bits)
     span = 1 << (2 * bits)
     width = span // n_files
+    # Integer `div`, not float `/`: for bits >= 27 the 2*bits-bit key
+    # exceeds 2^53 and double rounding could misassign boundary rows.
     return df.withColumn("zorder_key", code).withColumn(
         "file_id",
         F.least(
-            (F.col("zorder_key") / F.lit(width)).cast("long"),
+            F.expr(f"zorder_key div {width}L"),
             F.lit(n_files - 1).cast("long"),
         ).cast("int"),
     )
@@ -492,6 +558,7 @@ def countmin_estimates(
     d: int = 4,
     w: int = 1024,
     salt: str = "cm1",
+    keys=None,
 ):
     """COUNT-MIN SKETCH hot-key estimation — the constant-memory
     substitute for an exact per-key count when the key space is huge
@@ -505,8 +572,11 @@ def countmin_estimates(
 
     Plan: one groupBy((row, bucket)) partial agg over the d-fold fan-out
     (d x |events| narrow rows, map-side combined into <= d*w sketch
-    rows), then the per-key estimate joins each DISTINCT key against the
-    tiny sketch (broadcast). Returns (key, cm_est)."""
+    rows), then the per-key estimate joins each probe key against the
+    tiny sketch (broadcast). ``keys`` (a 1-column DataFrame of probe
+    keys) bounds the probe side; when None every DISTINCT input key is
+    probed — fine for auditing, but at 10^9-key scale pass a bounded
+    candidate set (see hot_entities_countmin). Returns (key, cm_est)."""
     def fold(col, i: int):
         return (
             F.conv(
@@ -527,7 +597,10 @@ def countmin_estimates(
         ).alias("rb")
     ).select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     cms = rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("n"))
-    keys = df.select(key.alias(key_col)).distinct()
+    if keys is None:
+        keys = df.select(key.alias(key_col)).distinct()
+    else:
+        keys = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
     probes = keys.select(
         key_col,
         F.explode(

@@ -5451,8 +5451,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
-    "dup_ngram_stats": q_dup_ngram_stats,
-    "decontaminate": q_decontaminate,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash": q_simhash,
@@ -5615,3 +5613,166 @@ ORACLES: dict[str, str] = {
     # ann_lsh, image_decode_stats, phash_features: rows-only
     # (engine-internal hyperplanes / binary payloads absent from oracle views)
 }
+
+
+# Gate-window rotation (round 5): the driver certifies the FIRST 50 entries
+# of queries(); order below is oldest-certification-first so every r02-era
+# cert (3 rounds of code drift old) is re-certified this round. Union
+# coverage across CORRECTNESS_r01..r05 stays total. Rotate by editing this
+# list only — the QUERIES literal above is the registry, this is the window.
+GATE_ORDER: list[str] = [
+    # 1-44: r02-certified oracle-backed (oldest certs in the repo)
+    "asdc",
+    "autocorr",
+    "backfill",
+    "centroid_per_label",
+    "channel_correlation",
+    "connected_components",
+    "contact_graph_stats",
+    "cosine_topk",
+    "dbscan",
+    "dde",
+    "dedup_exact",
+    "distance_pair",
+    "distribution",
+    "doc_fingerprint",
+    "eigen_centrality",
+    "embedding_neardup",
+    "equal_length_stats",
+    "graph_path_stats",
+    "grouped_composition",
+    "grouped_kspaced_pairs",
+    "knn_label_fractions",
+    "lag_lead",
+    "lagk_pairs",
+    "lang_id",
+    "mcl_clusters",
+    "mean_impute",
+    "minhash_lsh_dedup",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "positional_onehot",
+    "qso_order",
+    "resize_checksums",
+    "rolling_stats",
+    "sessionize",
+    "shell_composition",
+    "simhash",
+    "soc_number",
+    "stride_pairs",
+    "text_quality",
+    "token_composition",
+    "token_stats",
+    "transitions",
+    "window_composition",
+    "zscore",
+    # 45-50: oldest r03-certified
+    "affinity_clusters",
+    "agglomerative_fixture",
+    "ann_lsh",
+    "ann_mllib_recall",
+    "asof_join_inclusive",
+    "audio_checksums",
+    # 51+: remaining r03, then r04 (certified last round), then rows-only
+    "ball_composition",
+    "betweenness",
+    "bisecting_fixture",
+    "bpe_token_stats",
+    "closeness_centrality",
+    "cross_cov",
+    "ctriad_minmax",
+    "decode_stats_checksums",
+    "embed_checksums",
+    "frame_sample_checksums",
+    "grouped_window_composition",
+    "half_exposure",
+    "image_fidelity",
+    "ivf_recall",
+    "kmeans_fixture",
+    "knn_ann",
+    "ksc_triad",
+    "lambda_tuples",
+    "lda_fixture",
+    "mean_shift",
+    "minmax",
+    "paac_weights",
+    "pca_checksums",
+    "phash_checksums",
+    "pic_clusters",
+    "pricing_summary",
+    "quantize_embeddings",
+    "repetition_stats",
+    "revenue_by_nation",
+    "shell_composition_3d",
+    "simhash_neardup",
+    "stratified_sample",
+    "streaming_asof_parity",
+    "surface_depth",
+    "topk_orders",
+    "trigrams",
+    "tsne_fixture",
+    "zip_label_join",
+    "aaindex_multi",
+    "asof_join",
+    "asof_join_forward",
+    "asof_join_multi",
+    "asof_join_nearest",
+    "aspect_buckets",
+    "augment_plan",
+    "bisecting_checksums",
+    "build_vocab",
+    "chunk_overlap",
+    "chunk_stats",
+    "countmin_hotkeys",
+    "decayed_features",
+    "decontaminate",
+    "dedup_clusters",
+    "diverse_sample",
+    "dup_ngram_stats",
+    "dup_span_stats",
+    "gmm_fixture",
+    "half_exposure_3d",
+    "horizon_dedup",
+    "image_pit_checksums",
+    "ivf_topk_checksums",
+    "leakage_safe_split",
+    "minhash_dedup_mark",
+    "opf_multihot",
+    "pack_documents",
+    "pagerank",
+    "patch_grid_checksums",
+    "phash_clusters",
+    "phash_neardup",
+    "pit_fused",
+    "pit_salted",
+    "pq_fixture",
+    "pq_topk",
+    "psekraac_gap",
+    "psekraac_gap3",
+    "psekraac_lambda",
+    "redact_pii",
+    "robust_quantiles",
+    "sketch_accuracy",
+    "streaming_decay_parity",
+    "streaming_session_parity",
+    "surface_depth_3d",
+    "target_encode",
+    "temperature_resample",
+    "top_terms",
+    "unigram_surprisal",
+    "winsorize_stats",
+    "zorder_layout",
+    # rows-only (no SQL oracle; each has a driver-certified checksum twin)
+    "ann_mllib_lsh",
+    "bisecting_kmeans",
+    "embed_documents",
+    "gmm_embeddings",
+    "image_pit",
+    "ivf_topk",
+    "kmeans_embeddings",
+    "lda_topics",
+    "pca_embeddings",
+    "tsne_sample",
+]
+
+QUERIES = {k: QUERIES[k] for k in GATE_ORDER}

@@ -163,3 +163,52 @@ def test_countmin_never_underestimates(spark):
         .toPandas().set_index("k")
     )
     assert (est["cm_est"].sort_index() == est2["cm_est"].sort_index()).all()
+
+
+def test_countmin_detector_default_no_exact_groupby(spark, monkeypatch):
+    """hot_detector defaults to "countmin": the exact full-key-space
+    groupBy (hot_entities) must never run, detection must still find the
+    hot key, and the routed output must equal the unsalted baseline."""
+    import spark_pit.operators.skew as skew
+
+    ev, snaps = _mk(spark)
+
+    def boom(*a, **k):  # the exact detector is the thing we're replacing
+        raise AssertionError("exact hot_entities called on the countmin path")
+
+    monkeypatch.setattr(skew, "hot_entities", boom)
+    base = _collect(pit_features_cursor(
+        ev, snaps, "user_id", "ts", "value", "event_type", VOCAB,
+        gap_seconds=1800, width=5,
+    ))
+    mixed = _collect(skew.pit_features_salted(
+        ev, snaps, "user_id", "ts", "value", "event_type", VOCAB,
+        gap_seconds=1800, width=5, chunk_seconds=7200, hot_threshold=1000,
+    ))
+    _assert_same(base, mixed)
+
+
+def test_countmin_detector_recall_and_sampled_plan(spark):
+    """The CMS detector finds every truly hot key (never-underestimate +
+    ~e^-50 sample miss probability), and its candidate scan is the
+    SAMPLED plan (a Filter on the row hash), not a full-key distinct."""
+    from spark_pit.operators.skew import hot_entities_countmin
+
+    ev, _ = _mk(spark)
+    hot = hot_entities_countmin(ev, "user_id", threshold=1000)
+    assert hot == ["hot"]
+
+    # threshold > oversample so the sample rate is real (denom=20): the
+    # candidate branch must filter on the deterministic row hash before
+    # any aggregate touches the key column.
+    rate_denom = 1000 // 50
+    row_hash = F.abs(F.xxhash64(*[F.col(c) for c in ev.columns]))
+    cand = ev.where(row_hash % rate_denom == 0).select("user_id").distinct()
+    # local-relation inputs get the filter constant-folded into the scan
+    # (ConvertToLocalRelation), so assert on the analyzed plan where the
+    # Filter node is still visible.
+    plan = cand._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64" in plan and "Filter" in plan
+    n_cand = cand.count()
+    n_keys = ev.select("user_id").distinct().count()
+    assert n_cand <= n_keys  # candidates never exceed the key space
