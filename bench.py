@@ -34,9 +34,16 @@ def main() -> None:
     from spark_pit.queries import EVENT_VOCAB, QUERIES
     from spark_pit.session import get_spark
 
+    # SPARK_GRAFT_MASTER overrides the master URL while SPARK_GRAFT_CPUS
+    # keeps sizing shuffle partitions / kernel buckets. The override exists
+    # for the scaling harness's small-executor leg: `local-cluster[4,2,M]`
+    # runs the SAME total cores as local[8] but as 4 separate executor
+    # JVMs, each with its own GC, block manager, and Arrow IPC plane to its
+    # own 2 Python workers — the production deployment shape.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     spark = get_spark(
         app_name="spark_pit_bench",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=max(int(cpus) * 2, 8),
     )
     spark.sparkContext.setLogLevel("ERROR")

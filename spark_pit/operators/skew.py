@@ -615,3 +615,31 @@ def countmin_estimates(
         .groupBy(key_col)
         .agg(F.min("n").cast("long").alias("cm_est"))
     )
+
+
+def zorder_files_for_box(
+    x0: int, x1: int, y0: int, y1: int, n_files: int = 16, bits: int = 16
+) -> list:
+    """File ids a (x,y) range query can touch under the zorder_layout
+    assignment — the layout-aware reader's partition-pruning set (what an
+    Iceberg/Delta reader derives from per-file min/max of the Z-key).
+    Exact by enumeration over the box's integer grid (O(box area) driver
+    work: meant for the SMALL query boxes where pruning pays; a
+    production reader over huge boxes would use the BIGMIN z-range
+    decomposition instead — same output set)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    width = (1 << (2 * bits)) // n_files
+
+    def interleave(x: int, y: int) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    ids = {
+        min(interleave(x, y) // width, n_files - 1)
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+    }
+    return sorted(ids)

@@ -106,7 +106,16 @@ def image_pit_features(
     ``hot_threshold`` routes image_ids with more events than the threshold
     through the salted time-chunk path (north_rule: "Skew on hot image_ids
     is broken via salted repartitioning") — output identical either way
-    (tests/test_skew equivalence + the shared golden fixture)."""
+    (tests/test_skew equivalence + the shared golden fixture).
+
+    ``num_buckets`` sizing: target ~50k-row pandas buckets at the job's
+    DATA scale (rows/50k), never a core multiple — core-derived counts
+    produce few large buckets whose last scheduling wave idles most of an
+    executor's cores behind one straggler (round-5 measurement, BENCH.md:
+    32→128 buckets on 6.4M rows took the 8-core kernel from 640k to 796k
+    rows/s and the 2→8 equal-pressure scaling from 0.74 to 0.86–0.94).
+    Buckets ≫ total cores is the invariant; at 100 TB that's ~2M buckets,
+    which AQE schedules without issue."""
     ch = image_channels(images, with_pixel_stats=with_pixel_stats)
     snaps = snapshots.select("image_id", "snapshot_ts", "snapshot_id")
     extra_cols = ["caption_len", "aspect"] + (

@@ -1629,6 +1629,97 @@ SELECT CAST(0 AS BIGINT) AS n_only_stream,
 """
 
 
+def q_streaming_target_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth streaming DRIVER-GATE row (round 5): the stateful streaming
+    target encoder — (count, exact micro-unit running sum) per CATEGORY
+    via applyInPandasWithState — must reproduce the batch
+    target_encode_pit (te_count, decimal te_sum) BIT-EXACTLY per event.
+    Targets are eighth-quantized (floor(value*8)/8: exact in binary AND
+    at 6 decimal places) so both engines sum the same exact integers;
+    the sum comparison is string-vs-string on the scale-6 decimal form.
+    Diff counts pinned zero at every sf."""
+    import os
+    import tempfile
+
+    from spark_pit.operators.windows import target_encode_pit
+    from spark_pit.streaming import streaming_target_encode
+
+    ck = tempfile.mkdtemp(prefix="ck_te_parity_")
+    name = "te_parity_" + os.path.basename(ck).strip("_").replace("-", "_")[-12:]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    vq = (F.floor(F.col("value") * 8).cast("double") / F.lit(8.0)).alias("vq")
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(sf_dir)  # directory scan; sibling tables filtered below
+        .where(
+            F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "event_id",
+            vq,
+        )
+    )
+    stream_q = (
+        streaming_target_encode(raw, "event_type", "ts", "vq", tiebreak="event_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream_q.awaitTermination(300)
+    stream = spark.table(name).select(
+        "event_id",
+        F.col("te_count").alias("cnt_s"),
+        F.col("te_sum_str").alias("sum_s"),
+        F.lit(1).alias("__s"),
+    )
+    ev = (
+        _ev(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("event_id", "event_type", "ts", vq)
+    )
+    batch = target_encode_pit(
+        ev, "event_type", "ts", "vq", tiebreak="event_id"
+    ).select(
+        "event_id",
+        F.col("te_count").alias("cnt_b"),
+        F.col("te_sum").cast("string").alias("sum_b"),
+        F.lit(1).alias("__b"),
+    )
+    j = stream.join(batch, "event_id", "full_outer")
+    zero = F.lit(0).cast("long")
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("__b").isNull(), 1)), zero)
+        .cast("long").alias("n_only_stream"),
+        F.coalesce(F.sum(F.when(F.col("__s").isNull(), 1)), zero)
+        .cast("long").alias("n_only_batch"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__s").isNotNull() & F.col("__b").isNotNull()
+                    & (
+                        ~F.col("cnt_s").eqNullSafe(F.col("cnt_b"))
+                        | ~F.col("sum_s").eqNullSafe(F.col("sum_b"))
+                    ),
+                    1,
+                )
+            ),
+            zero,
+        ).cast("long").alias("n_value_diff"),
+    )
+
+
+Q_STREAMING_TARGET_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_stream,
+       CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_value_diff
+"""
+
+
 def q_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second streaming DRIVER-GATE row (round 4): gap-based session
     windows. The built-in F.session_window stream (AvailableNow, append
@@ -5361,6 +5452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_mark": q_minhash_dedup_mark,
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
+    "streaming_target_parity": q_streaming_target_parity,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
     "leakage_safe_split": q_leakage_safe_split,
@@ -5535,6 +5627,7 @@ ORACLES: dict[str, str] = {
     "streaming_asof_parity": Q_STREAMING_ASOF_PARITY_SQL,
     "streaming_session_parity": Q_STREAMING_SESSION_PARITY_SQL,
     "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
+    "streaming_target_parity": Q_STREAMING_TARGET_PARITY_SQL,
     "pq_fixture": Q_PQ_FIXTURE_SQL,
     "pq_topk": Q_PQ_TOPK_SQL,
     "pagerank": Q_PAGERANK_SQL,
@@ -5621,7 +5714,9 @@ ORACLES: dict[str, str] = {
 # coverage across CORRECTNESS_r01..r05 stays total. Rotate by editing this
 # list only — the QUERIES literal above is the registry, this is the window.
 GATE_ORDER: list[str] = [
-    # 1-44: r02-certified oracle-backed (oldest certs in the repo)
+    # never-certified round-5 additions lead the window
+    "streaming_target_parity",
+    # then r02-certified oracle-backed (oldest certs in the repo)
     "asdc",
     "autocorr",
     "backfill",

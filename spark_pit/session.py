@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_PIT_DRIVER_MEM", "8g"))
     )
+    if master.startswith("local-cluster"):
+        # Separate executor JVMs don't inherit the driver's sys.path
+        # hacks; Python workers need the package importable. Harmless and
+        # only applied in this multi-JVM local test shape.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prior = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{prior}" if prior else repo_root,
+        )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():

@@ -333,3 +333,100 @@ def streaming_decayed_features(
     return events.groupBy(entity).applyInPandasWithState(
         fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_target_encode(
+    events: DataFrame,
+    category: str,
+    ts: str,
+    target_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/windows.target_encode_pit (the
+    leakage-free expanding categorical target encoder): per CATEGORY the
+    state carries exactly (count, exact micro-unit running sum) — the
+    (count, decimal-sum) pair, with the decimal(38,6) sum held as an
+    arbitrary-precision integer of 1e-6 units serialized to a string, so
+    the state is two scalars per category and NEVER loses exactness,
+    however large the sum grows (the batch operator's decimal(38,6)
+    discipline, unbounded).
+
+    Each event is emitted with ``te_count`` (strictly-earlier same-
+    category rows) and ``te_sum_str`` (the exact running sum BEFORE this
+    row, formatted as a scale-6 decimal string identical to Spark's
+    decimal(38,6)→string cast; null when te_count=0) — so the parity
+    query can pin stream==batch with zero tolerance and te_mean derives
+    engine-side from (count, sum) identically on both sides.
+
+    Exactness regime (documented, enforced by the parity query's input
+    prep): targets must be exactly representable at 6 decimal places
+    with |target·1e6| < 2^53 (e.g. eighth-quantized doubles), so the
+    one float op here — rint(target·1e6) — is exact and the running sum
+    is pure integer arithmetic. Ordered arrival (Trigger.AvailableNow
+    over ts-ordered input, same regime as streaming_decayed_features);
+    within a micro-batch rows are sorted by (ts, tiebreak) to match the
+    batch operator's window order.
+    """
+    cat_type = events.schema[category].dataType.simpleString()
+    ts_type = events.schema[ts].dataType.simpleString()
+    id_cols = [
+        f.name for f in events.schema.fields
+        if f.name not in (category, ts, target_col)
+    ]
+    id_decl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in events.schema.fields if f.name in id_cols
+    )
+    out_schema = (
+        f"{category} {cat_type}, {ts} {ts_type}{id_decl}, "
+        "te_count long, te_sum_str string"
+    )
+    state_schema = "cnt long, sum_us string"
+
+    def _dec6(us: int) -> str:
+        sign = "-" if us < 0 else ""
+        a = abs(int(us))
+        return f"{sign}{a // 1_000_000}.{a % 1_000_000:06d}"
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            cnt, sum_s = state.get
+            cnt, total = int(cnt), int(sum_s)
+        else:
+            cnt, total = 0, 0
+        order = [ts] + ([tiebreak] if tiebreak else [])
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order, kind="stable")
+            v = pdf[target_col].to_numpy(dtype="float64")
+            us = np.rint(v * 1e6).astype("int64")
+            # exclusive prefix sum = running sum BEFORE each row
+            prefix = np.concatenate(([0], np.cumsum(us)[:-1]))
+            if abs(total) >= (1 << 62) - abs(prefix).max(initial=0):
+                # beyond int64: promote to Python ints (object dtype) —
+                # exactness is the contract, int64 just the fast path
+                prefix = prefix.astype(object)
+            run = prefix + total
+            te_count = cnt + np.arange(len(pdf), dtype="int64")
+            out = pdf[[category, ts, *id_cols]].copy()
+            out["te_count"] = te_count
+            out["te_sum_str"] = [
+                _dec6(s) if c > 0 else None
+                for c, s in zip(te_count, run)
+            ]
+            yield out
+            cnt += len(pdf)
+            # object-dtype sum: exact beyond int64, O(batch) driver-free
+            total += int(us.astype(object).sum())
+        state.update((cnt, str(total)))
+
+    return events.groupBy(category).applyInPandasWithState(
+        fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )

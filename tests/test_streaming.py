@@ -271,3 +271,63 @@ def test_streaming_decayed_features_matches_batch(spark, sf_dir, tmp_path):
     assert (got["decayed_sum"] == batch["decayed_sum"]).all()
     # non-vacuous: at least one event actually has decayed history
     assert (got["decayed_count"] > 0).any()
+
+
+def test_streaming_target_encode_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful streaming target encoder's (count, exact micro-unit
+    sum) state must reproduce the batch target_encode_pit per event:
+    te_count == batch te_count and the scale-6 decimal sum string ==
+    Spark's decimal(38,6)->string of the batch running sum. Targets are
+    eighth-quantized so both sides sum exact integers — == not approx."""
+    from spark_pit.operators.windows import target_encode_pit
+    from spark_pit.streaming import streaming_target_encode
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    vq = (F.floor(F.col("value") * 8).cast("double") / F.lit(8.0)).alias("vq")
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}")
+        .where(F.col("event_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type", F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "event_id", vq,
+        )
+    )
+    out = streaming_target_encode(src, "event_type", "ts", "vq", tiebreak="event_id")
+    q = (
+        out.writeStream.format("memory").queryName("testate")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_testate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select event_id, te_count, te_sum_str from testate")
+        .toPandas().set_index("event_id").sort_index()
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull()
+    ).select("event_type", "ts", "event_id", vq)
+    batch = (
+        target_encode_pit(ev, "event_type", "ts", "vq", tiebreak="event_id")
+        .select(
+            "event_id",
+            F.col("te_count").alias("cnt_b"),
+            F.col("te_sum").cast("string").alias("sum_b"),
+        )
+        .toPandas().set_index("event_id").sort_index()
+    )
+    assert len(got) == len(batch)
+    assert (got["te_count"].to_numpy() == batch["cnt_b"].to_numpy()).all()
+    first = got["te_count"] == 0
+    assert got.loc[first, "te_sum_str"].isna().all()
+    assert batch.loc[first.to_numpy(), "sum_b"].isna().all()
+    rest = ~first
+    assert (
+        got.loc[rest, "te_sum_str"].to_numpy()
+        == batch.loc[rest.to_numpy(), "sum_b"].to_numpy()
+    ).all()
+    # non-vacuous: some category actually accumulated history, and the
+    # quantized targets include negatives (sign path of the formatter)
+    assert (got["te_count"] > 0).any()

@@ -29,7 +29,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cpus: int, sf_dir: str, repl: int, query: str = "flagship",
-              buckets: int | None = None, img_dir: str | None = None) -> dict:
+              buckets: int | None = None, img_dir: str | None = None,
+              master: str | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -38,6 +39,8 @@ def run_level(cpus: int, sf_dir: str, repl: int, query: str = "flagship",
         SPARK_GRAFT_IMG_REPL=str(repl),
         SPARK_GRAFT_BENCH_QUERIES=query,
     )
+    if master is not None:
+        env["SPARK_GRAFT_MASTER"] = master
     if buckets is not None:
         env["SPARK_GRAFT_BUCKETS"] = str(buckets)
     if img_dir is not None:
@@ -110,16 +113,39 @@ def main() -> None:
              "analogue of N small executors sharing a node",
     )
     ap.add_argument(
+        "--high-master", default=None,
+        help="master URL override for the HIGH leg only, e.g. "
+             "local-cluster[4,2,4096]: same total cores as local[8] but as "
+             "4 separate executor JVMs (own GC / block manager / Arrow IPC "
+             "plane per 2 Python workers) — the production small-executor "
+             "deployment shape, and the direct test of the round-4 "
+             "hypothesis that the image kernel's single-JVM 8-worker Arrow "
+             "plane is what fails the 2→8 criterion",
+    )
+    ap.add_argument(
         "--query", default="flagship", choices=["flagship", "image_flagship"],
         help="which flagship to scale: the events kernel or the north-rule "
              "image+caption pipeline",
     )
+    ap.add_argument(
+        "--buckets", type=int, default=None,
+        help="kernel bucket count, pinned across both legs (job config, "
+             "not cluster size). Default: rows/50k — bucket count belongs "
+             "to the DATA (target ~50k-row pandas batches), not the core "
+             "count: 32 core-derived buckets over 8 cores ran 4 waves "
+             "whose straggler tail cost the image high leg ~20% (round-5 "
+             "measurement: 640k->796k rows/s at 32->128 buckets, 6.4M "
+             "rows), while a 2-core leg at 16 waves packs fine either way",
+    )
     args = ap.parse_args()
 
-    # constant bucket count across both legs (job config, not cluster
-    # size): sized for the HIGH leg's default so the high leg's plan is
-    # unchanged and the low leg simply runs more, smaller buckets
-    buckets = args.high * (8 if args.query == "flagship" else 4)
+    buckets = args.buckets
+    if buckets is None:
+        if args.query == "image_flagship":
+            # image base table is 100k rows (bench.py datagen) x repl
+            buckets = max(args.high * 4, (100_000 * args.repl) // 50_000)
+        else:
+            buckets = args.high * 8
 
     img_dir = None
     if args.query == "image_flagship":
@@ -153,7 +179,8 @@ def main() -> None:
             int(ratio), args.low, args.sf_dir, args.repl, args.query,
             buckets, img_dir,
         )
-        hi = run_level(args.high, args.sf_dir, args.repl, args.query, buckets, img_dir)
+        hi = run_level(args.high, args.sf_dir, args.repl, args.query, buckets,
+                       img_dir, master=args.high_master)
         inst_rps = [_rows(r) / r["queries"][args.query] for r in los]
         lo = los[0]
         rps_lo = sum(inst_rps) / len(inst_rps)
@@ -162,7 +189,8 @@ def main() -> None:
         eff = rps_hi / sum(inst_rps)
     else:
         lo = run_level(args.low, args.sf_dir, args.repl, args.query, buckets, img_dir)
-        hi = run_level(args.high, args.sf_dir, args.repl, args.query, buckets, img_dir)
+        hi = run_level(args.high, args.sf_dir, args.repl, args.query, buckets,
+                       img_dir, master=args.high_master)
         rps_lo = _rows(lo) / lo["queries"][args.query]
         rps_hi = _rows(hi) / hi["queries"][args.query]
         eff = rps_hi / (ratio * rps_lo)
@@ -183,6 +211,8 @@ def main() -> None:
         "target": 0.8,
         "pass": eff >= 0.8,
     }
+    if args.high_master:
+        result["high_master"] = args.high_master
     if args.equal_pressure:
         result["protocol"] = "equal_pressure"
         result["unit"] = (
