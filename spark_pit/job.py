@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="salt entities with more events than this")
     p.add_argument("--chunk-seconds", type=int, default=86400)
     p.add_argument("--num-parts", type=int, default=64)
+    p.add_argument("--num-buckets", type=int, default=None,
+                   help="PIT kernel bucket count; default = max(256, "
+                        "rows/50k) — data-derived ~50k-row pandas buckets "
+                        "(BENCH.md round 5: core-derived counts straggle)")
     p.add_argument("--parts-per-batch", type=int, default=16)
     p.add_argument("--input-snapshot", default="",
                    help="lineage tag recorded in the manifest")
@@ -137,6 +141,10 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
                 F.col(args.ts).alias("snapshot_ts"),
                 F.col(args.tiebreak).alias("snapshot_id"),
             )
+        n_buckets = args.num_buckets
+        if n_buckets is None:
+            # parquet count() is metadata-only; ~50k-row buckets (BENCH.md)
+            n_buckets = max(256, ev.count() // 50_000)
         feats = pit_features_salted(
             ev, snaps,
             entity=args.entity, ts=args.ts,
@@ -146,6 +154,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
             hot_threshold=args.hot_threshold,
             hot_ids=None if args.hot_threshold is not None else [],
             tiebreak=args.tiebreak or None,
+            num_buckets=n_buckets,
         )
         entity = args.entity
     summary = manifest.write_checkpointed(
@@ -169,15 +178,14 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
-    builder = SparkSession.builder.appName("spark_pit_job")
-    if args.master:
-        builder = builder.master(args.master)
-    spark = (
-        builder.config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .getOrCreate()
-    )
+    # the engine's session factory, not a bare builder: picks up the
+    # scale-oriented defaults (AQE, Arrow batch size, NTZ timestamps, UTC)
+    # AND the SPARK_PIT_DRIVER_MEM heap knob — a bare local[32] session
+    # runs 32 executor threads on Spark's 1g default heap, which OOMs the
+    # countmin fan-out agg at the 51M-row endurance scale
+    from spark_pit.session import get_spark
+
+    spark = get_spark(app_name="spark_pit_job", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     print(json.dumps(run(spark, args)))
     spark.stop()

@@ -157,6 +157,16 @@ def write_checkpointed(
         batches = batches[:max_batches]
 
     keyed = with_part_id(df, entity, num_parts)
+    # Executor-disk persist: each batch filters the SAME upstream frame,
+    # and without a materialization point every batch recomputes the full
+    # kernel — measured at 51.2M rows as 16x a 45 s kernel for 16 batches.
+    # DISK_ONLY keeps the memory footprint flat at any scale; losing the
+    # cache on failure is exactly the resume contract (the next invocation
+    # recomputes ONCE and writes only the remaining parts).
+    from pyspark import StorageLevel
+
+    if len(batches) > 1:
+        keyed = keyed.persist(StorageLevel.DISK_ONLY)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     written: list[int] = []
@@ -181,6 +191,8 @@ def write_checkpointed(
             written.extend(batch)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        if len(batches) > 1:
+            keyed.unpersist()
 
     all_done = len(completed_parts(out_dir)) >= num_parts
     if all_done:

@@ -84,6 +84,7 @@ def hot_entities_countmin(
     d: int = 4,
     w: int = 8192,
     oversample: int = 50,
+    bias_factor: int = 8,
 ) -> list:
     """Constant-memory hot-key detection: count-min estimates probed on a
     SAMPLE-derived candidate set — no exact full-key-space groupBy and no
@@ -99,6 +100,19 @@ def hot_entities_countmin(
     2. sketch — countmin_estimates builds the d x w CMS (constant-size
        partial agg) and probes only the candidates (broadcast join).
 
+    Width discipline (round-5 fix, found at 51.2M rows): the CMS
+    overestimate bias is ~N/w per bucket, so a FIXED width turns the
+    detector into a constant function of N — at N=51.2M, w=8192 the bias
+    is ~6,250, which put every one of 767k entities past a threshold of
+    500 (the resulting 767k-key ``isin`` routing plan was a 10-minute
+    hang, vs 45 s for the kernel itself). ``w`` is therefore a FLOOR:
+    the effective width is max(w, bias_factor·N/threshold), sizing the
+    bias to ≤ threshold/bias_factor. N comes from ``events.count()`` —
+    metadata-only on parquet sources. Sketch rows stay bounded:
+    d·bias_factor·N/T counters ≪ distinct keys whenever keys ≫ N/T, the
+    regime this detector exists for (at N=10¹³, T=10⁷: w=8·10⁶ vs 10⁹
+    keys).
+
     CMS never underestimates, so every surviving hot key crosses the
     threshold; overestimates only route extra keys to the salted path,
     which is semantics-preserving by construction (asserted by
@@ -107,6 +121,8 @@ def hot_entities_countmin(
     Caveat: with threshold <= oversample the sample rate clamps to 1 and
     the candidate distinct degrades to the exact key space — at the
     scales where this detector matters thresholds are >> 50."""
+    n = events.count()
+    w_eff = max(w, (bias_factor * n) // max(threshold, 1) + 1)
     rate_denom = max(1, threshold // oversample)
     # Per-row deterministic sampling: hash EVERY column so two events of
     # the same key sample independently (xxhash64 of the key alone would
@@ -118,7 +134,7 @@ def hot_entities_countmin(
         .distinct()
     )
     est = countmin_estimates(
-        events.select(entity), entity, d=d, w=w, keys=cand
+        events.select(entity), entity, d=d, w=w_eff, keys=cand
     )
     rows = est.where(F.col("cm_est") > threshold).select(entity).collect()
     return [r[0] for r in rows]
@@ -141,6 +157,7 @@ def pit_features_salted(
     hot_threshold: int | None = None,
     tiebreak: str | None = None,
     hot_detector: str = "countmin",
+    num_buckets: int = 256,
 ) -> DataFrame:
     """pit_features_cursor semantics with hot entities salted by time chunk.
 
@@ -174,12 +191,14 @@ def pit_features_salted(
             return pit_features_bucketed(
                 ev, sn, entity, ts, numeric_col, token_col, vocab,
                 snap_ts, snap_id, gap_seconds, width, tiebreak,
+                num_buckets=num_buckets,
             )
         cold = pit_features_bucketed(
             ev.where(~F.col(entity).isin(hot_ids)),
             sn.where(~F.col(entity).isin(hot_ids)),
             entity, ts, numeric_col, token_col, vocab,
             snap_ts, snap_id, gap_seconds, width, tiebreak,
+            num_buckets=num_buckets,
         )
         hot = _salted_path(
             ev.where(F.col(entity).isin(hot_ids)),

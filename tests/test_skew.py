@@ -212,3 +212,34 @@ def test_countmin_detector_recall_and_sampled_plan(spark):
     n_cand = cand.count()
     n_keys = ev.select("user_id").distinct().count()
     assert n_cand <= n_keys  # candidates never exceed the key space
+
+
+def test_countmin_width_scales_with_data_not_constant(spark):
+    """Round-5 regression (found at 51.2M rows): a FIXED sketch width has
+    bias ~N/w, so past N ≈ w·threshold the detector flags EVERY key hot
+    (767k false hots at sf0.1x512 — a 10-minute isin-routing hang). The
+    effective width must grow with N/threshold so the bias stays at
+    threshold/bias_factor."""
+    from spark_pit.operators.skew import countmin_estimates, hot_entities_countmin
+
+    # 1000 cold keys x 300 events (N=300k) + one hot key x 1200
+    base = spark.range(300_000).select(
+        (F.col("id") % 1000).cast("string").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    hot = spark.range(1200).select(
+        F.lit("HOT").alias("k"), (F.col("id") + 1_000_000).alias("payload")
+    )
+    ev = base.unionByName(hot)
+
+    # the OLD fixed-width behavior misfires: at w=1024 the per-row bias
+    # (~294 expected) pushes cold 300-count keys past the 400 threshold
+    # for whichever keys collide in all d rows (>10% of keys here; at the
+    # production N/w ratios it was 100% of keys)
+    est_fixed = countmin_estimates(ev.select("k"), "k", d=4, w=1024)
+    n_fixed_hot = est_fixed.where(F.col("cm_est") > 400).count()
+    assert n_fixed_hot > 100  # the failure mode this test pins
+
+    # the autosized detector: exactly the one genuinely hot key
+    got = hot_entities_countmin(ev, "k", threshold=400, w=1024)
+    assert got == ["HOT"]
