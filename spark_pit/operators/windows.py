@@ -279,3 +279,92 @@ def target_encode_pit(
             F.round(F.lit(float(prior)), 6)
         )
     return out.withColumn("te_mean", enc)
+
+
+def funnel_steps(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    step_col: str,
+    steps: list[str],
+    within_s: int | None = None,
+) -> DataFrame:
+    """Ordered funnel completion per entity (the event-sequence analysis a
+    training-data pipeline runs over behavioral logs): step k's timestamp
+    is the EARLIEST occurrence of ``steps[k]`` STRICTLY AFTER step k-1's
+    timestamp (first-touch attribution; strict > so a same-instant later
+    step never counts backwards). Emits per entity: ``step{k}_ts_us`` for
+    each step (null once the chain breaks), ``funnel_depth`` (number of
+    completed steps), and ``completed`` — all steps reached, and, with
+    ``within_s``, the whole chain inside the window from step 0.
+
+    Plan: one conditional-min aggregation per step, all on the SAME
+    entity hash partitioning — the first groupBy shuffles, every later
+    agg + join reuses that partitioning (co-partitioned joins, no extra
+    exchange under AQE), so cost is K co-located passes, never a
+    self-join blowup. K (funnel length) is small by construction.
+    Integer-microsecond timestamps end to end — exact in any engine."""
+    us = ts_us(F.col(ts))
+    base = df.select(F.col(entity), us.alias("__us"), F.col(step_col).alias("__step"))
+    cur = (
+        base.where(F.col("__step") == steps[0])
+        .groupBy(entity)
+        .agg(F.min("__us").alias("step0_ts_us"))
+    )
+    for k in range(1, len(steps)):
+        nxt = (
+            base.where(F.col("__step") == steps[k])
+            .join(cur.select(entity, f"step{k-1}_ts_us"), entity)
+            .where(F.col("__us") > F.col(f"step{k-1}_ts_us"))
+            .groupBy(entity)
+            .agg(F.min("__us").alias(f"step{k}_ts_us"))
+        )
+        cur = cur.join(nxt, entity, "left")
+    depth = sum(
+        F.when(F.col(f"step{k}_ts_us").isNotNull(), 1).otherwise(0)
+        for k in range(len(steps))
+    )
+    last = f"step{len(steps) - 1}_ts_us"
+    done = F.col(last).isNotNull()
+    if within_s is not None:
+        done = done & (
+            (F.col(last) - F.col("step0_ts_us")) <= F.lit(int(within_s) * 1_000_000)
+        )
+    return cur.withColumn("funnel_depth", depth.cast("int")).withColumn(
+        "completed", done
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    attr_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change-event log:
+    collapse consecutive rows whose ``attr_cols`` are all unchanged
+    (null-safe compare) and emit one validity interval per run —
+    ``valid_from_us`` (the run's first event), ``valid_to_us`` (the next
+    run's start; null while current) and ``is_current``. This is the
+    dimension-history table the as-of/PIT joins consume: version rows
+    with half-open [from, to) intervals, exactly the shape
+    ``asof_join`` expects on its right side.
+
+    Plan: ONE window over the entity partition (lag compare → change
+    flag → keep firsts → lead for the close timestamp). No joins, no
+    self-union; integer-microsecond arithmetic."""
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(entity).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(F.col(ts)).over(w).isNull() | changed
+    runs = df.withColumn("__new_run", first).where(F.col("__new_run"))
+    w2 = Window.partitionBy(entity).orderBy(*order)
+    return (
+        runs.withColumn("valid_from_us", ts_us(F.col(ts)))
+        .withColumn("valid_to_us", F.lead(ts_us(F.col(ts))).over(w2))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .drop("__new_run")
+    )

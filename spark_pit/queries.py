@@ -2689,6 +2689,91 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel completion (round 5): per user the earliest
+    view → add_to_cart → purchase chain with each step strictly after
+    the previous (first-touch attribution), completed when the whole
+    chain closes inside 24 h. K co-partitioned conditional-min
+    aggregations on ONE entity hash partitioning — never a self-join
+    blowup. Integer-µs end to end."""
+    from spark_pit.operators.windows import funnel_steps
+
+    out = funnel_steps(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type",
+        ["view", "add_to_cart", "purchase"], within_s=86400,
+    )
+    return out.select(
+        "user_id", "step0_ts_us", "step1_ts_us", "step2_ts_us",
+        "funnel_depth", "completed",
+    )
+
+
+Q_FUNNEL_STEPS_SQL = """
+WITH s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS step0_ts_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS step1_ts_us
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'add_to_cart' AND epoch_us(e.ts) > s0.step0_ts_us
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS step2_ts_us
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.step1_ts_us
+  GROUP BY e.user_id
+)
+SELECT s0.user_id, s0.step0_ts_us, s1.step1_ts_us, s2.step2_ts_us,
+       CAST(1 + (s1.step1_ts_us IS NOT NULL)::INT
+              + (s2.step2_ts_us IS NOT NULL)::INT AS INTEGER) AS funnel_depth,
+       coalesce(s2.step2_ts_us IS NOT NULL
+                AND s2.step2_ts_us - s0.step0_ts_us <= 86400000000,
+                FALSE) AS completed
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history (round 5): collapse each user's
+    consecutive same-event_type runs into half-open validity intervals
+    [valid_from_us, valid_to_us) with is_current on the open tail — the
+    version-row shape the as-of/PIT joins consume as their right side.
+    ONE window over the entity partition; no joins."""
+    from spark_pit.operators.windows import scd2_intervals
+
+    out = scd2_intervals(
+        _ev(spark, sf_dir), "user_id", "ts", ["event_type"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "event_id", "event_type",
+        "valid_from_us", "valid_to_us", "is_current",
+    )
+
+
+Q_SCD2_HISTORY_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_et,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT * FROM lagged
+  WHERE prev_ts IS NULL OR (event_type IS DISTINCT FROM prev_et)
+)
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w2 AS valid_to_us,
+       (lead(epoch_us(ts)) OVER w2 IS NULL) AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-horizon event dedup (round 4 cont.): identical
     (user, event_type, value) events repeating inside 10 minutes are
@@ -5453,6 +5538,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "streaming_target_parity": q_streaming_target_parity,
+    "funnel_steps": q_funnel_steps,
+    "scd2_history": q_scd2_history,
     "phash_neardup": q_phash_neardup,
     "aspect_buckets": q_aspect_buckets,
     "leakage_safe_split": q_leakage_safe_split,
@@ -5628,6 +5715,8 @@ ORACLES: dict[str, str] = {
     "streaming_session_parity": Q_STREAMING_SESSION_PARITY_SQL,
     "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
     "streaming_target_parity": Q_STREAMING_TARGET_PARITY_SQL,
+    "funnel_steps": Q_FUNNEL_STEPS_SQL,
+    "scd2_history": Q_SCD2_HISTORY_SQL,
     "pq_fixture": Q_PQ_FIXTURE_SQL,
     "pq_topk": Q_PQ_TOPK_SQL,
     "pagerank": Q_PAGERANK_SQL,
@@ -5716,6 +5805,8 @@ ORACLES: dict[str, str] = {
 GATE_ORDER: list[str] = [
     # never-certified round-5 additions lead the window
     "streaming_target_parity",
+    "funnel_steps",
+    "scd2_history",
     # then r02-certified oracle-backed (oldest certs in the repo)
     "asdc",
     "autocorr",

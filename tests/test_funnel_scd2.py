@@ -1,0 +1,91 @@
+"""funnel_steps + scd2_intervals: hand-built fixtures pin the edge
+semantics (strict-after step ordering, window boundary, broken chains;
+null-safe attr compare, open current interval)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from spark_pit.operators.windows import funnel_steps, scd2_intervals
+
+
+def _t(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def _us(s):
+    return int(datetime(2024, 1, 1, 0, 0, s).timestamp() * 1_000_000)
+
+
+def test_funnel_strict_after_and_window(spark):
+    rows = [
+        # u1: clean A(1) -> B(2) -> C(3): depth 3, completed
+        ("u1", _t(1), "A"), ("u1", _t(2), "B"), ("u1", _t(3), "C"),
+        # u2: B BEFORE A — chain breaks at step 1: depth 1
+        ("u2", _t(5), "B"), ("u2", _t(6), "A"), ("u2", _t(7), "C"),
+        # u3: same-instant B as A — strict > rejects it; later B(9) used
+        ("u3", _t(8), "A"), ("u3", _t(8), "B"), ("u3", _t(9), "B"),
+        ("u3", _t(10), "C"),
+        # u4: completes but OUTSIDE the 5s window
+        ("u4", _t(1), "A"), ("u4", _t(2), "B"), ("u4", _t(30), "C"),
+        # u5: no A at all — absent from output
+        ("u5", _t(1), "B"), ("u5", _t(2), "C"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp_ntz, s string")
+    got = {
+        r["u"]: r
+        for r in funnel_steps(df, "u", "ts", "s", ["A", "B", "C"], within_s=5).collect()
+    }
+    assert set(got) == {"u1", "u2", "u3", "u4"}
+    assert got["u1"]["funnel_depth"] == 3 and got["u1"]["completed"]
+    assert got["u2"]["funnel_depth"] == 1 and not got["u2"]["completed"]
+    assert got["u2"]["step1_ts_us"] is None
+    # u3: B at t8 rejected (not strictly after A at t8), B at t9 taken
+    assert got["u3"]["step1_ts_us"] == _us(9)
+    assert got["u3"]["funnel_depth"] == 3 and got["u3"]["completed"]
+    assert got["u4"]["funnel_depth"] == 3 and not got["u4"]["completed"]
+
+
+def test_funnel_first_touch_uses_earliest_chain(spark):
+    # two A's: chain anchors on the EARLIEST A, even though the later A
+    # would also admit the B
+    rows = [("u", _t(1), "A"), ("u", _t(4), "A"), ("u", _t(6), "B")]
+    df = spark.createDataFrame(rows, "u string, ts timestamp_ntz, s string")
+    r = funnel_steps(df, "u", "ts", "s", ["A", "B"]).collect()[0]
+    assert r["step0_ts_us"] == _us(1)
+    assert r["step1_ts_us"] == _us(6)
+    assert r["completed"]
+
+
+def test_scd2_runs_collapse_and_current(spark):
+    rows = [
+        ("u1", _t(1), 1, "red"), ("u1", _t(2), 2, "red"),   # run 1
+        ("u1", _t(3), 3, "blue"),                            # run 2
+        ("u1", _t(4), 4, "red"),                             # run 3 (back)
+        ("u2", _t(1), 5, None), ("u2", _t(2), 6, None),      # null==null: one run
+        ("u2", _t(3), 7, "x"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp_ntz, i int, c string")
+    out = scd2_intervals(df, "u", "ts", ["c"], tiebreak="i").collect()
+    by = {(r["u"], r["i"]): r for r in out}
+    assert set(by) == {("u1", 1), ("u1", 3), ("u1", 4), ("u2", 5), ("u2", 7)}
+    # half-open intervals chain exactly
+    assert by[("u1", 1)]["valid_from_us"] == _us(1)
+    assert by[("u1", 1)]["valid_to_us"] == _us(3)
+    assert by[("u1", 3)]["valid_to_us"] == _us(4)
+    assert by[("u1", 4)]["valid_to_us"] is None and by[("u1", 4)]["is_current"]
+    # null-safe compare: the two null-attr rows are ONE run
+    assert by[("u2", 5)]["valid_to_us"] == _us(3)
+    assert not by[("u2", 5)]["is_current"]
+    assert by[("u2", 7)]["is_current"]
+
+
+def test_scd2_multi_attr_any_change_opens_run(spark):
+    rows = [
+        ("u", _t(1), 1, "a", 10), ("u", _t(2), 2, "a", 10),
+        ("u", _t(3), 3, "a", 20),  # second attr changes
+        ("u", _t(4), 4, "b", 20),  # first attr changes
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp_ntz, i int, c string, v int")
+    out = scd2_intervals(df, "u", "ts", ["c", "v"], tiebreak="i")
+    assert [r["i"] for r in out.orderBy("valid_from_us").collect()] == [1, 3, 4]
