@@ -368,3 +368,48 @@ def scd2_intervals(
         .withColumn("is_current", F.col("valid_to_us").isNull())
         .drop("__new_run")
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    entity_dims: list[str],
+    ts: str,
+    value_col: str,
+    granularities_s: list[int] = (3600, 86400),
+) -> DataFrame:
+    """Hypertable-style multi-granularity continuous-aggregate rollup:
+    per (dimension values, granularity, bucket start) emit count /
+    int64 micro-unit sum / min / max of the value — the pre-aggregated
+    table a dashboard or a feature-backfill job reads instead of raw
+    events. GROUPING SETS over the stacked granularity column would
+    shuffle once per set; stacking the bucket column FIRST (one narrow
+    explode over the static granularity list) and aggregating once keeps
+    it to a SINGLE shuffle whose width is |granularities| × |dims| keys
+    — the shape that still holds at 100 TB because the fan-out is a
+    constant small factor applied map-side before the exchange.
+
+    Exactness: sums are int64 micro-units (floor(v·1e6 + 0.5) per row),
+    partial-aggregation-order independent and bit-identical across
+    engines; bucket starts are integer-µs floors."""
+    gl = sorted(set(int(g) for g in granularities_s))
+    us = ts_us(F.col(ts))
+    v_us = F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    stacked = df.select(
+        *entity_dims,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(g).alias("granularity_s"),
+                    (us - us % F.lit(g * 1_000_000)).alias("bucket_start_us"),
+                )
+                for g in gl
+            ])
+        ).alias("__b"),
+        v_us.alias("__v"),
+    ).select(*entity_dims, "__b.granularity_s", "__b.bucket_start_us", "__v")
+    return stacked.groupBy(*entity_dims, "granularity_s", "bucket_start_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("sum_micro"),
+        F.min("__v").alias("min_micro"),
+        F.max("__v").alias("max_micro"),
+    )

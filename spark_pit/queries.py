@@ -2689,6 +2689,43 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup (round 5): hourly +
+    daily (event_type) buckets of count/sum/min/max in ONE shuffle — the
+    granularity fan-out is a constant map-side explode, never a
+    per-granularity pass. Int64 micro-unit value arithmetic."""
+    from spark_pit.operators.windows import time_rollup
+
+    out = time_rollup(
+        _ev(spark, sf_dir), ["event_type"], "ts", "value",
+        granularities_s=[3600, 86400],
+    )
+    return out.select(
+        "event_type", "granularity_s", "bucket_start_us",
+        "n", "sum_micro", "min_micro", "max_micro",
+    )
+
+
+Q_TIME_ROLLUP_SQL = """
+WITH stacked AS (
+  SELECT event_type, g.granularity_s,
+         epoch_us(ts) - epoch_us(ts) % (g.granularity_s * CAST(1000000 AS BIGINT))
+           AS bucket_start_us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+  CROSS JOIN (VALUES (3600), (86400)) AS g(granularity_s)
+)
+SELECT event_type, CAST(granularity_s AS INTEGER) AS granularity_s,
+       bucket_start_us,
+       count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_micro,
+       min(v) AS min_micro,
+       max(v) AS max_micro
+FROM stacked
+GROUP BY event_type, granularity_s, bucket_start_us
+"""
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel completion (round 5): per user the earliest
     view → add_to_cart → purchase chain with each step strictly after
@@ -5538,6 +5575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "streaming_target_parity": q_streaming_target_parity,
+    "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
     "phash_neardup": q_phash_neardup,
@@ -5715,6 +5753,7 @@ ORACLES: dict[str, str] = {
     "streaming_session_parity": Q_STREAMING_SESSION_PARITY_SQL,
     "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
     "streaming_target_parity": Q_STREAMING_TARGET_PARITY_SQL,
+    "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
     "pq_fixture": Q_PQ_FIXTURE_SQL,
@@ -5805,6 +5844,7 @@ ORACLES: dict[str, str] = {
 GATE_ORDER: list[str] = [
     # never-certified round-5 additions lead the window
     "streaming_target_parity",
+    "time_rollup",
     "funnel_steps",
     "scd2_history",
     # then r02-certified oracle-backed (oldest certs in the repo)

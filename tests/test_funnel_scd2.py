@@ -89,3 +89,32 @@ def test_scd2_multi_attr_any_change_opens_run(spark):
     df = spark.createDataFrame(rows, "u string, ts timestamp_ntz, i int, c string, v int")
     out = scd2_intervals(df, "u", "ts", ["c", "v"], tiebreak="i")
     assert [r["i"] for r in out.orderBy("valid_from_us").collect()] == [1, 3, 4]
+
+
+def test_time_rollup_buckets_and_single_shuffle(spark):
+    from spark_pit.operators.windows import time_rollup
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30, 0), 1.25),
+        ("a", datetime(2024, 1, 1, 0, 45, 0), -2.5),
+        ("a", datetime(2024, 1, 1, 1, 15, 0), 4.0),
+        ("b", datetime(2024, 1, 2, 3, 0, 0), 0.1),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = time_rollup(df, ["k"], "ts", "v", granularities_s=[3600, 86400])
+    got = {(r["k"], r["granularity_s"], r["bucket_start_us"]): r for r in out.collect()}
+
+    day0 = int(datetime(2024, 1, 1).timestamp() * 1_000_000)
+    hr = 3_600_000_000
+    # hourly: a splits 2+1; daily: a collapses to one bucket of 3
+    assert got[("a", 3600, day0)]["n"] == 2
+    assert got[("a", 3600, day0)]["sum_micro"] == 1_250_000 - 2_500_000
+    assert got[("a", 3600, day0 + hr)]["n"] == 1
+    assert got[("a", 86400, day0)]["n"] == 3
+    assert got[("a", 86400, day0)]["min_micro"] == -2_500_000
+    assert got[("a", 86400, day0)]["max_micro"] == 4_000_000
+    assert got[("b", 86400, day0 + 24 * hr)]["n"] == 1
+
+    # ONE shuffle: the granularity fan-out happens map-side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # AQE wraps one exchange node
