@@ -2689,6 +2689,94 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
 """
 
 
+def q_streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth streaming DRIVER-GATE row (round 5): the stateful streaming
+    SCD-2 operator (O(1) open-version state per entity) must emit
+    EXACTLY the batch scd2_intervals' closed rows — equal (entity,
+    valid_from_us) keys, equal valid_to_us and attr values — while each
+    entity's single open row stays in state (open_rows_match pins that
+    n_only_batch equals the distinct-entity count, so the subset isn't
+    vacuous). All-integer comparison, zero tolerance."""
+    import os
+    import tempfile
+
+    from spark_pit.operators.windows import scd2_intervals
+    from spark_pit.streaming import streaming_scd2
+
+    ck = tempfile.mkdtemp(prefix="ck_scd2_parity_")
+    name = "scd2_parity_" + os.path.basename(ck).strip("_").replace("-", "_")[-12:]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(sf_dir)
+        .where(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "event_id",
+            "event_type",
+        )
+    )
+    stream_q = (
+        streaming_scd2(raw, "user_id", "ts", ["event_type"], tiebreak="event_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream_q.awaitTermination(300)
+    stream = spark.table(name).select(
+        "user_id",
+        F.col("event_type").alias("et_s"),
+        "valid_from_us",
+        F.col("valid_to_us").alias("to_s"),
+        F.lit(1).alias("__s"),
+    )
+    ev = _ev(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    batch = scd2_intervals(ev, "user_id", "ts", ["event_type"], tiebreak="event_id")
+    closed = batch.select(
+        "user_id",
+        F.col("event_type").alias("et_b"),
+        "valid_from_us",
+        F.col("valid_to_us").alias("to_b"),
+        F.lit(1).alias("__b"),
+    )
+    n_entities = ev.select("user_id").distinct().count()
+    n_open = batch.where(F.col("is_current")).count()
+    j = stream.join(closed.where(F.col("to_b").isNotNull()),
+                    ["user_id", "valid_from_us"], "full_outer")
+    zero = F.lit(0).cast("long")
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("__b").isNull(), 1)), zero)
+        .cast("long").alias("n_only_stream"),
+        F.coalesce(F.sum(F.when(F.col("__s").isNull(), 1)), zero)
+        .cast("long").alias("n_only_batch"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__s").isNotNull() & F.col("__b").isNotNull()
+                    & (
+                        ~F.col("to_s").eqNullSafe(F.col("to_b"))
+                        | ~F.col("et_s").eqNullSafe(F.col("et_b"))
+                    ),
+                    1,
+                )
+            ),
+            zero,
+        ).cast("long").alias("n_value_diff"),
+        F.lit(n_open == n_entities).alias("open_rows_match"),
+    )
+
+
+Q_STREAMING_SCD2_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_stream,
+       CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_value_diff,
+       TRUE AS open_rows_match
+"""
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity continuous-aggregate rollup (round 5): hourly +
     daily (event_type) buckets of count/sum/min/max in ONE shuffle — the
@@ -5575,6 +5663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session_parity": q_streaming_session_parity,
     "streaming_decay_parity": q_streaming_decay_parity,
     "streaming_target_parity": q_streaming_target_parity,
+    "streaming_scd2_parity": q_streaming_scd2_parity,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -5753,6 +5842,7 @@ ORACLES: dict[str, str] = {
     "streaming_session_parity": Q_STREAMING_SESSION_PARITY_SQL,
     "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
     "streaming_target_parity": Q_STREAMING_TARGET_PARITY_SQL,
+    "streaming_scd2_parity": Q_STREAMING_SCD2_PARITY_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -5844,6 +5934,7 @@ ORACLES: dict[str, str] = {
 GATE_ORDER: list[str] = [
     # never-certified round-5 additions lead the window
     "streaming_target_parity",
+    "streaming_scd2_parity",
     "time_rollup",
     "funnel_steps",
     "scd2_history",

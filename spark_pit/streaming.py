@@ -430,3 +430,86 @@ def streaming_target_encode(
     return events.groupBy(category).applyInPandasWithState(
         fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_scd2(
+    events: DataFrame,
+    entity: str,
+    ts: str,
+    attr_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/windows.scd2_intervals: per ENTITY the
+    state carries only the OPEN version row (run-start µs + current attr
+    values — O(1) per entity), and a CLOSED validity interval is emitted
+    the moment a change event arrives. The output is exactly the batch
+    operator's closed rows (is_current=false); the open tail lives in
+    state until its closing change arrives — so the parity query pins
+    stream ⊆ batch with n_only_stream = 0, value diffs = 0, and
+    n_only_batch = one open row per entity.
+
+    Ordered arrival (Trigger.AvailableNow over ts-ordered input, the
+    module's documented regime); within a micro-batch rows sort by
+    (ts, tiebreak). Null-safe attr compare (NaN/None == NaN/None), the
+    batch operator's eqNullSafe."""
+    ent_type = events.schema[entity].dataType.simpleString()
+    attr_decl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.schema.fields if f.name in attr_cols
+    )
+    out_schema = (
+        f"{entity} {ent_type}, {attr_decl}, "
+        "valid_from_us long, valid_to_us long"
+    )
+    state_schema = f"run_start_us long, {attr_decl}"
+
+    def _same(a, b) -> bool:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if pd.isna(a) or pd.isna(b):
+            return False
+        return a == b
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            run_start, cur = int(st[0]), list(st[1:])
+        else:
+            run_start, cur = None, None
+        order = [ts] + ([tiebreak] if tiebreak else [])
+        ent = key[0]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order, kind="stable")
+            t_us = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            closed = []
+            for i, row in enumerate(pdf[attr_cols].itertuples(index=False)):
+                vals = list(row)
+                if cur is None:
+                    run_start, cur = int(t_us[i]), vals
+                elif not all(_same(a, b) for a, b in zip(cur, vals)):
+                    closed.append((run_start, int(t_us[i]), cur))
+                    run_start, cur = int(t_us[i]), vals
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        entity: [ent] * len(closed),
+                        **{
+                            c: [vals[j] for _, _, vals in closed]
+                            for j, c in enumerate(attr_cols)
+                        },
+                        "valid_from_us": [f for f, _, _ in closed],
+                        "valid_to_us": [t for _, t, _ in closed],
+                    }
+                )
+        if cur is not None:
+            state.update((run_start, *cur))
+
+    return events.groupBy(entity).applyInPandasWithState(
+        fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )

@@ -331,3 +331,65 @@ def test_streaming_target_encode_matches_batch(spark, sf_dir, tmp_path):
     # non-vacuous: some category actually accumulated history, and the
     # quantized targets include negatives (sign path of the formatter)
     assert (got["te_count"] > 0).any()
+
+
+def test_streaming_scd2_cross_batch_state(spark, tmp_path):
+    """streaming_scd2 must close intervals correctly when a run SPANS
+    micro-batches (maxFilesPerTrigger=1 forces 3 batches over ts-ordered
+    files): output == batch scd2_intervals' closed rows, open tails stay
+    in state."""
+    from datetime import datetime
+
+    from spark_pit.operators.windows import scd2_intervals
+    from spark_pit.streaming import streaming_scd2
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    batches = [
+        # file 1: u1 run 'a' opens; u2 run 'x' opens
+        [("u1", t(1), 1, "a"), ("u1", t(2), 2, "a"), ("u2", t(1), 3, "x")],
+        # file 2: u1 still 'a' (run spans batches); u2 changes to 'y'
+        [("u1", t(3), 4, "a"), ("u2", t(4), 5, "y")],
+        # file 3: u1 finally changes -> closes the spanning run
+        [("u1", t(6), 6, "b"), ("u2", t(7), 7, "y")],
+    ]
+    src_dir = tmp_path / "scd2_src"
+    src_dir.mkdir()
+    schema = "u string, ts timestamp_ltz, i long, c string"
+    for k, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src_dir / f"b{k}")
+        )
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "b*"))
+    )
+    q = (
+        streaming_scd2(stream_src, "u", "ts", ["c"], tiebreak="i")
+        .writeStream.format("memory").queryName("scd2state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["u"], r["valid_from_us"]): (r["c"], r["valid_to_us"])
+        for r in spark.sql("select * from scd2state").collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    batch_df = scd2_intervals(
+        spark.createDataFrame(all_rows, schema), "u", "ts", ["c"], tiebreak="i"
+    )
+    want = {
+        (r["u"], r["valid_from_us"]): (r["c"], r["valid_to_us"])
+        for r in batch_df.where(F.col("is_current") == False).collect()  # noqa: E712
+    }
+    assert got == want
+    # the spanning run really closed (u1 'a' from t1 to t6), proving the
+    # state carried across 3 micro-batches
+    us = lambda s: int(datetime(2024, 1, 1, 0, 0, s).timestamp() * 1_000_000)
+    assert got[("u1", us(1))] == ("a", us(6))
+    assert got[("u2", us(1))] == ("x", us(4))
