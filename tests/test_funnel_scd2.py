@@ -171,3 +171,44 @@ def test_scd2_reconstruction_property(spark):
             ), (u, sec, c, by_ent[u])
 
     check()
+
+
+def test_scd2_versions_feed_asof_join(spark):
+    """Composition: the SCD-2 version table is the right side an as-of
+    join consumes — asof_join_window (at-or-before) over the intervals'
+    valid_from must return, for any probe instant, the same attr as the
+    naive last-change-event-at-or-before lookup."""
+    from spark_pit.operators.asof import asof_join_window
+    from spark_pit.operators.windows import scd2_intervals
+
+    rows = [
+        ("u1", _t(1), 1, "red"), ("u1", _t(2), 2, "red"),
+        ("u1", _t(5), 3, "blue"), ("u1", _t(9), 4, "red"),
+        ("u2", _t(2), 5, "x"), ("u2", _t(4), 6, "y"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp_ntz, i int, c string")
+    versions = scd2_intervals(df, "u", "ts", ["c"], tiebreak="i").select(
+        "u", "valid_from_us", F.col("c").alias("attr"), "i"
+    )
+    probes = spark.createDataFrame(
+        [("u1", _us(0)), ("u1", _us(1)), ("u1", _us(3)), ("u1", _us(5)),
+         ("u1", _us(7)), ("u1", _us(20)), ("u2", _us(3)), ("u2", _us(4))],
+        "u string, probe_us long",
+    )
+    joined = asof_join_window(
+        probes, versions, on=["u"], left_ts="probe_us",
+        right_ts="valid_from_us", value_cols=["attr"],
+        strict=False, right_order="i",
+    )
+    got = {(r["u"], r["probe_us"]): r["asof_attr"] for r in joined.collect()}
+    # naive truth: last change event at-or-before the probe
+    events = sorted(rows, key=lambda r: (r[0], r[1], r[2]))
+    for (u, p), attr in got.items():
+        before = [r for r in events if r[0] == u
+                  and int(r[1].timestamp() * 1e6) <= p]
+        want = before[-1][3] if before else None
+        assert attr == want, (u, p, attr, want)
+    assert got[("u1", _us(0))] is None          # before any version
+    assert got[("u1", _us(3))] == "red"
+    assert got[("u1", _us(5))] == "blue"        # at-or-before sees the t5 open
+    assert got[("u1", _us(20))] == "red"        # current open version
