@@ -2689,6 +2689,98 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
 """
 
 
+def q_streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth streaming DRIVER-GATE row (round 5): the stateful streaming
+    funnel (K-slot set-once chain state per entity) must reproduce the
+    batch funnel_steps EXACTLY — every step timestamp, the depth, and
+    the windowed completion flag, all-integer compare, diff counts
+    pinned zero. The sink is folded per entity with column max, exact
+    because every emitted column is set-once/monotonic."""
+    import os
+    import tempfile
+
+    from spark_pit.operators.windows import funnel_steps
+    from spark_pit.streaming import streaming_funnel
+
+    ck = tempfile.mkdtemp(prefix="ck_funnel_parity_")
+    name = "funnel_parity_" + os.path.basename(ck).strip("_").replace("-", "_")[-12:]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(sf_dir)
+        .where(F.col("event_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "event_id",
+            "event_type",
+        )
+    )
+    stream_q = (
+        streaming_funnel(
+            raw, "user_id", "ts", "event_type",
+            ["view", "add_to_cart", "purchase"], within_s=86400,
+            tiebreak="event_id",
+        )
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream_q.awaitTermination(300)
+    stream = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("step0_ts_us").alias("t0_s"),
+            F.max("step1_ts_us").alias("t1_s"),
+            F.max("step2_ts_us").alias("t2_s"),
+            F.max("funnel_depth").alias("d_s"),
+            F.max("completed").alias("c_s"),
+        )
+        .withColumn("__s", F.lit(1))
+    )
+    batch = funnel_steps(
+        _ev(spark, sf_dir), "user_id", "ts", "event_type",
+        ["view", "add_to_cart", "purchase"], within_s=86400,
+    ).select(
+        "user_id",
+        F.col("step0_ts_us").alias("t0_b"),
+        F.col("step1_ts_us").alias("t1_b"),
+        F.col("step2_ts_us").alias("t2_b"),
+        F.col("funnel_depth").alias("d_b"),
+        F.col("completed").alias("c_b"),
+        F.lit(1).alias("__b"),
+    )
+    j = stream.join(batch, "user_id", "full_outer")
+    zero = F.lit(0).cast("long")
+    diff = (
+        ~F.col("t0_s").eqNullSafe(F.col("t0_b"))
+        | ~F.col("t1_s").eqNullSafe(F.col("t1_b"))
+        | ~F.col("t2_s").eqNullSafe(F.col("t2_b"))
+        | ~F.col("d_s").eqNullSafe(F.col("d_b"))
+        | ~F.col("c_s").eqNullSafe(F.col("c_b"))
+    )
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("__b").isNull(), 1)), zero)
+        .cast("long").alias("n_only_stream"),
+        F.coalesce(F.sum(F.when(F.col("__s").isNull(), 1)), zero)
+        .cast("long").alias("n_only_batch"),
+        F.coalesce(
+            F.sum(F.when(F.col("__s").isNotNull() & F.col("__b").isNotNull() & diff, 1)),
+            zero,
+        ).cast("long").alias("n_value_diff"),
+    )
+
+
+Q_STREAMING_FUNNEL_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_stream,
+       CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_value_diff
+"""
+
+
 def q_streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth streaming DRIVER-GATE row (round 5): the stateful streaming
     SCD-2 operator (O(1) open-version state per entity) must emit
@@ -5664,6 +5756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_decay_parity": q_streaming_decay_parity,
     "streaming_target_parity": q_streaming_target_parity,
     "streaming_scd2_parity": q_streaming_scd2_parity,
+    "streaming_funnel_parity": q_streaming_funnel_parity,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -5843,6 +5936,7 @@ ORACLES: dict[str, str] = {
     "streaming_decay_parity": Q_STREAMING_DECAY_PARITY_SQL,
     "streaming_target_parity": Q_STREAMING_TARGET_PARITY_SQL,
     "streaming_scd2_parity": Q_STREAMING_SCD2_PARITY_SQL,
+    "streaming_funnel_parity": Q_STREAMING_FUNNEL_PARITY_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -5935,6 +6029,7 @@ GATE_ORDER: list[str] = [
     # never-certified round-5 additions lead the window
     "streaming_target_parity",
     "streaming_scd2_parity",
+    "streaming_funnel_parity",
     "time_rollup",
     "funnel_steps",
     "scd2_history",

@@ -513,3 +513,82 @@ def streaming_scd2(
     return events.groupBy(entity).applyInPandasWithState(
         fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    entity: str,
+    ts: str,
+    step_col: str,
+    steps: list[str],
+    within_s: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/windows.funnel_steps: per entity the
+    state is the K-slot chain of step timestamps (µs, -1 = unset) —
+    O(K) per entity. Under ordered arrival the first qualifying event
+    per slot IS the earliest one (set-once), so the incremental chain
+    equals the batch operator's earliest-strictly-after semantics
+    exactly. Each micro-batch emits the entity's current chain (depth
+    monotonic, timestamps immutable once set), so the latest row per
+    entity equals the batch result — the parity query folds the sink
+    with per-column max, which is exact because every column is
+    set-once/monotonic."""
+    ent_type = events.schema[entity].dataType.simpleString()
+    k_steps = len(steps)
+    cols = [f"step{k}_ts_us" for k in range(k_steps)]
+    out_schema = (
+        f"{entity} {ent_type}, "
+        + ", ".join(f"{c} long" for c in cols)
+        + ", funnel_depth int, completed boolean"
+    )
+    state_schema = ", ".join(f"t{k} long" for k in range(k_steps))
+    step_idx = {s: k for k, s in enumerate(steps)}
+    win_us = int(within_s) * 1_000_000 if within_s is not None else None
+
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        t = list(state.get) if state.exists else [-1] * k_steps
+        order = [ts] + ([tiebreak] if tiebreak else [])
+        ent = key[0]
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order, kind="stable")
+            t_us = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            for s, tu in zip(pdf[step_col].to_numpy(), t_us):
+                k = step_idx.get(s)
+                if k is None or t[k] != -1:
+                    continue
+                if k == 0:
+                    t[0] = int(tu)
+                    touched = True
+                elif t[k - 1] != -1 and tu > t[k - 1]:
+                    t[k] = int(tu)
+                    touched = True
+        if t[0] != -1 and (touched or not state.exists):
+            depth = 0
+            for v in t:
+                if v == -1:
+                    break
+                depth += 1
+            done = t[-1] != -1
+            if done and win_us is not None:
+                done = (t[-1] - t[0]) <= win_us
+            yield pd.DataFrame(
+                {
+                    entity: [ent],
+                    **{c: [t[k] if t[k] != -1 else None] for k, c in enumerate(cols)},
+                    "funnel_depth": [depth],
+                    "completed": [done],
+                }
+            )
+        state.update(tuple(t))
+
+    return events.groupBy(entity).applyInPandasWithState(
+        fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )

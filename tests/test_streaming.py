@@ -393,3 +393,71 @@ def test_streaming_scd2_cross_batch_state(spark, tmp_path):
     us = lambda s: int(datetime(2024, 1, 1, 0, 0, s).timestamp() * 1_000_000)
     assert got[("u1", us(1))] == ("a", us(6))
     assert got[("u2", us(1))] == ("x", us(4))
+
+
+def test_streaming_funnel_cross_batch_chain(spark, tmp_path):
+    """A funnel chain assembled ACROSS micro-batches (A in batch 1, B in
+    batch 2, C in batch 3) must equal the batch operator, including the
+    completion-window check."""
+    from datetime import datetime
+
+    from spark_pit.operators.windows import funnel_steps
+    from spark_pit.streaming import streaming_funnel
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    batches = [
+        [("u1", t(1), 1, "A"), ("u2", t(1), 2, "A"), ("u3", t(1), 3, "B")],
+        [("u1", t(2), 4, "B"), ("u2", t(2), 5, "C")],       # u2: C before B
+        [("u1", t(4), 6, "C"), ("u2", t(5), 7, "B"), ("u2", t(50), 8, "C")],
+    ]
+    src_dir = tmp_path / "funnel_src"
+    src_dir.mkdir()
+    schema = "u string, ts timestamp_ltz, i long, s string"
+    for k, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src_dir / f"b{k}")
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "b*"))
+    )
+    q = (
+        streaming_funnel(src, "u", "ts", "s", ["A", "B", "C"], within_s=10,
+                         tiebreak="i")
+        .writeStream.format("memory").queryName("funnelstate")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    folded = (
+        spark.sql("select * from funnelstate")
+        .groupBy("u")
+        .agg(
+            F.max("step0_ts_us").alias("t0"), F.max("step1_ts_us").alias("t1"),
+            F.max("step2_ts_us").alias("t2"), F.max("funnel_depth").alias("d"),
+            F.max("completed").alias("c"),
+        )
+    )
+    got = {r["u"]: r for r in folded.collect()}
+    all_rows = [r for b in batches for r in b]
+    want = {
+        r["u"]: r
+        for r in funnel_steps(
+            spark.createDataFrame(all_rows, schema), "u", "ts", "s",
+            ["A", "B", "C"], within_s=10,
+        ).collect()
+    }
+    assert set(got) == set(want) == {"u1", "u2"}   # u3 never saw A
+    for u in want:
+        assert got[u]["t0"] == want[u]["step0_ts_us"]
+        assert got[u]["t1"] == want[u]["step1_ts_us"]
+        assert got[u]["t2"] == want[u]["step2_ts_us"]
+        assert got[u]["d"] == want[u]["funnel_depth"]
+        assert got[u]["c"] == want[u]["completed"]
+    assert got["u1"]["d"] == 3 and got["u1"]["c"]          # cross-batch chain
+    assert got["u2"]["d"] == 3 and not got["u2"]["c"]      # outside window
