@@ -669,3 +669,79 @@ def pq_topk(
         .where(F.col("rk") <= k)
         .select("qid", "nid", "rk", F.round("adc_dist", 6).alias("adc_dist"))
     )
+
+
+def negative_sample(
+    df,
+    id_col: str,
+    group_col: str,
+    k: int = 3,
+    n_buckets: int = 64,
+    salt: str = "neg1",
+):
+    """Deterministic contrastive negative sampling: per anchor, up to
+    ``k`` negatives drawn from OTHER groups (group = dup-cluster /
+    source / label — the leakage guard: an anchor's near-duplicate can
+    never be its own negative when grouped by dup cluster). Sampling is
+    the repo's portable md5-fold, so the draw is reproducible across
+    runs, partitionings AND engines.
+
+    Plan: candidates hash into ``n_buckets`` ring buckets; each anchor
+    probes buckets (h(anchor)+j) mod B for j=1..k — ONE equi-join on the
+    bucket id after a k-row probe explode — and within each probed
+    bucket takes the candidate minimizing an anchor-dependent fold
+    (row_number window). Intermediate size is k·(N/B) rows per anchor:
+    linear in N for B ∝ N (size B to ~N/16 at scale; the default 64 fits
+    the sandbox tables). A probe yields no row when its bucket holds
+    only same-group candidates — by design (null-free output, depth
+    visible as missing j ranks).
+
+    Returns (id, probe j, neg_id, neg_group)."""
+    from pyspark.sql import Window
+
+    def fold(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        )
+
+    cand = df.select(
+        F.col(id_col).alias("__cid"), F.col(group_col).alias("__cgrp")
+    ).withColumn(
+        "__b",
+        fold(F.concat(F.col("__cid").cast("string"), F.lit(salt))) % n_buckets,
+    )
+    probes = df.select(
+        F.col(id_col).alias(id_col), F.col(group_col).alias("__agrp")
+    ).select(
+        id_col, "__agrp",
+        F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j"),
+    ).withColumn(
+        "__pb",
+        (
+            fold(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+            + F.col("j")
+        ) % n_buckets,
+    )
+    joined = (
+        probes.join(cand, probes["__pb"] == cand["__b"])
+        .where(F.col("__cgrp") != F.col("__agrp"))
+        .withColumn(
+            "__r",
+            fold(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit("|"),
+                    F.col("__cid").cast("string"), F.lit(salt),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col, "j").orderBy(F.col("__r").asc(), F.col("__cid").asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col, "j",
+            F.col("__cid").alias("neg_id"),
+            F.col("__cgrp").alias("neg_group"),
+        )
+    )

@@ -2869,6 +2869,46 @@ SELECT CAST(0 AS BIGINT) AS n_only_stream,
 """
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (round 5): per doc, 3
+    cross-source negatives via md5-fold ring-bucket probes — ONE bucket
+    equi-join, no N² pairing, reproducible across engines (the oracle
+    replays the identical folds)."""
+    from spark_pit.operators.similarity import negative_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return negative_sample(docs, "doc_id", "source", k=3, n_buckets=64)
+
+
+Q_NEGATIVE_SAMPLE_SQL = """
+WITH cand AS (
+  SELECT doc_id AS cid, source AS cgrp,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'neg1')),
+              1, 15)) AS BIGINT) % 64 AS b
+  FROM documents
+),
+probes AS (
+  SELECT d.doc_id, d.source AS agrp, j.j,
+         (CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+               'neg1')), 1, 15)) AS BIGINT) + j.j) % 64 AS pb
+  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+),
+joined AS (
+  SELECT p.doc_id, p.j, c.cid, c.cgrp,
+         CAST(concat('0x', substr(md5(concat(CAST(p.doc_id AS VARCHAR), '|',
+              CAST(c.cid AS VARCHAR), 'neg1')), 1, 15)) AS BIGINT) AS r
+  FROM probes p JOIN cand c ON p.pb = c.b
+  WHERE c.cgrp <> p.agrp
+)
+SELECT doc_id, CAST(j AS INTEGER) AS j, cid AS neg_id, cgrp AS neg_group
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, j ORDER BY r, cid) AS rn
+  FROM joined
+)
+WHERE rn = 1
+"""
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity continuous-aggregate rollup (round 5): hourly +
     daily (event_type) buckets of count/sum/min/max in ONE shuffle — the
@@ -5757,6 +5797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_target_parity": q_streaming_target_parity,
     "streaming_scd2_parity": q_streaming_scd2_parity,
     "streaming_funnel_parity": q_streaming_funnel_parity,
+    "negative_sample": q_negative_sample,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -5937,6 +5978,7 @@ ORACLES: dict[str, str] = {
     "streaming_target_parity": Q_STREAMING_TARGET_PARITY_SQL,
     "streaming_scd2_parity": Q_STREAMING_SCD2_PARITY_SQL,
     "streaming_funnel_parity": Q_STREAMING_FUNNEL_PARITY_SQL,
+    "negative_sample": Q_NEGATIVE_SAMPLE_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -6030,6 +6072,7 @@ GATE_ORDER: list[str] = [
     "streaming_target_parity",
     "streaming_scd2_parity",
     "streaming_funnel_parity",
+    "negative_sample",
     "time_rollup",
     "funnel_steps",
     "scd2_history",

@@ -225,3 +225,29 @@ def test_pq_topk_adc(spark):
     for t in range(8):
         mine = pdf[pdf["qid"] == 10000 + t]
         assert t in set(mine["nid"]), t  # source recalled in top-3
+
+
+def test_negative_sample_leakage_guard_and_determinism(spark):
+    """Negatives never come from the anchor's own group, the draw is
+    deterministic across partitionings, and each anchor gets at most k
+    negatives with distinct probe ranks."""
+    from spark_pit.operators.similarity import negative_sample
+
+    rows = [(i, f"g{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = negative_sample(df, "id", "grp", k=3, n_buckets=16).collect()
+
+    by_anchor = {}
+    grp = dict(rows)
+    for r in out:
+        assert r["neg_group"] != grp[r["id"]]          # leakage guard
+        assert grp[r["neg_id"]] == r["neg_group"]
+        by_anchor.setdefault(r["id"], []).append(r["j"])
+    for js in by_anchor.values():
+        assert len(js) == len(set(js)) <= 3
+    assert len(by_anchor) >= 190                        # near-total coverage
+
+    # partitioning invariance: same rows, different layout -> same draw
+    out2 = negative_sample(df.repartition(13), "id", "grp", k=3, n_buckets=16).collect()
+    key = lambda r: (r["id"], r["j"], r["neg_id"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))
