@@ -2869,6 +2869,90 @@ SELECT CAST(0 AS BIGINT) AS n_only_stream,
 """
 
 
+def q_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group ROC-AUC (round 5): Mann–Whitney rank statistic
+    with midrank ties, one (group, score) sort exchange, integer
+    numerator, one final divide → int64 micro-units. Scores/labels are
+    deterministic event derivations with REAL tie classes (mod-997
+    collisions) so the midrank path is exercised."""
+    from spark_pit.operators.evalmetrics import auc_by_group
+
+    scored = _ev(spark, sf_dir).select(
+        "event_type",
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return auc_by_group(scored, "event_type", "score", "label")
+
+
+Q_AUC_BY_GROUP_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         (event_id % 997) / 997.0 AS score,
+         CAST(event_id % 3 = 0 AS INT) AS y
+  FROM events
+),
+base AS (
+  SELECT event_type, score, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY score, y) AS rn
+  FROM scored
+),
+mid AS (
+  SELECT event_type, score, y,
+         CAST(sum(rn) OVER (PARTITION BY event_type, score) * 2
+              / count(*) OVER (PARTITION BY event_type, score) AS BIGINT)
+           AS mid2
+  FROM base
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN y = 1 THEN mid2 END) AS BIGINT) AS s2
+  FROM mid GROUP BY event_type
+)
+SELECT event_type, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         CAST(floor((s2 - n_pos * (n_pos + 1))
+                    / (2.0 * n_pos * n_neg) * 1000000 + 0.5) AS BIGINT)
+       END AS auc_micro
+FROM agg
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins (round 5): per (group, bin)
+    count + mean score + positive rate in int64 micro-units; one
+    shuffle."""
+    from spark_pit.operators.evalmetrics import calibration_bins
+
+    scored = _ev(spark, sf_dir).select(
+        "event_type",
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return calibration_bins(scored, "event_type", "score", "label", n_bins=10)
+
+
+Q_CALIBRATION_BINS_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         (event_id % 997) / 997.0 AS score,
+         CAST(event_id % 3 = 0 AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type,
+       CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+       count(*) AS n,
+       CAST(floor(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT))
+                  / count(*) + 0.5) AS BIGINT) AS mean_score_micro,
+       CAST(floor(sum(y) * 1000000 / count(*) + 0.5) AS BIGINT)
+         AS pos_rate_micro
+FROM scored
+GROUP BY event_type, bin
+"""
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (round 5): per doc, 3
     cross-source negatives via md5-fold ring-bucket probes — ONE bucket
@@ -5798,6 +5882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_scd2_parity": q_streaming_scd2_parity,
     "streaming_funnel_parity": q_streaming_funnel_parity,
     "negative_sample": q_negative_sample,
+    "auc_by_group": q_auc_by_group,
+    "calibration_bins": q_calibration_bins,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -5979,6 +6065,8 @@ ORACLES: dict[str, str] = {
     "streaming_scd2_parity": Q_STREAMING_SCD2_PARITY_SQL,
     "streaming_funnel_parity": Q_STREAMING_FUNNEL_PARITY_SQL,
     "negative_sample": Q_NEGATIVE_SAMPLE_SQL,
+    "auc_by_group": Q_AUC_BY_GROUP_SQL,
+    "calibration_bins": Q_CALIBRATION_BINS_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -6073,6 +6161,8 @@ GATE_ORDER: list[str] = [
     "streaming_scd2_parity",
     "streaming_funnel_parity",
     "negative_sample",
+    "auc_by_group",
+    "calibration_bins",
     "time_rollup",
     "funnel_steps",
     "scd2_history",
