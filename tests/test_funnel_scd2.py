@@ -128,7 +128,7 @@ def test_scd2_reconstruction_property(spark):
 
     from spark_pit.operators.windows import scd2_intervals
 
-    @settings(max_examples=15, deadline=None)
+    @settings(max_examples=15, deadline=None, derandomize=True)
     @given(
         st.lists(
             st.tuples(
@@ -141,7 +141,7 @@ def test_scd2_reconstruction_property(spark):
         )
     )
     def check(raw):
-        # unique (entity, ts) per event via the index tiebreak
+        # unique (entity, ts, i) per event via the index tiebreak
         rows = [
             (u, datetime(2024, 1, 1, 0, 0, sec), i, c)
             for i, (u, sec, c) in enumerate(raw)
@@ -151,24 +151,23 @@ def test_scd2_reconstruction_property(spark):
         by_ent = {}
         for r in ivs:
             by_ent.setdefault(r["u"], []).append(r)
-        for u, sec, c in raw:
+        # truth: the state AT instant t is the attr of the LAST event
+        # at-or-before t in (ts, tiebreak) order — same-instant changes
+        # resolve by tiebreak, so an event can be superseded at its own ts
+        events_sorted = sorted(
+            ((u, sec, i, c) for i, (u, sec, c) in enumerate(raw)),
+            key=lambda r: (r[0], r[1], r[2]),
+        )
+        for u, sec, _, _ in events_sorted:
+            state = [r[3] for r in events_sorted if r[0] == u and r[1] <= sec][-1]
             t = int(datetime(2024, 1, 1, 0, 0, sec).timestamp() * 1_000_000)
-            # half-open [from, to): an event AT a boundary belongs to the
-            # newer version only if it opened at-or-before (tiebreak makes
-            # same-instant order deterministic, so containment may match
-            # either same-instant version; accept any covering interval
-            # with the right attr)
             covering = [
                 r for r in by_ent[u]
                 if r["valid_from_us"] <= t
-                and (r["valid_to_us"] is None or t < r["valid_to_us"]
-                     or t == r["valid_from_us"])
-                and (r["event_type"] if "event_type" in r else r["c"]) == c
+                and (r["valid_to_us"] is None or t < r["valid_to_us"])
             ]
-            # at least one version row with this attr covers the instant
-            assert covering or any(
-                r["valid_from_us"] == t and r["c"] == c for r in by_ent[u]
-            ), (u, sec, c, by_ent[u])
+            assert len(covering) == 1, (u, sec, covering)
+            assert covering[0]["c"] == state, (u, sec, state, by_ent[u])
 
     check()
 
