@@ -39,8 +39,12 @@ def auc_by_group(
 
     Returns (group, n_pos, n_neg, auc_micro) with auc_micro =
     floor(AUC·10⁶ + 0.5) — the engine-portable int64 surface."""
-    # midrank = avg(rn) over the tie class; 2*midrank is integer-exact:
-    # sum(rn)*2/count over consecutive integers is always an integer
+    # 2*midrank over a tie class of consecutive integers [a..b] is exactly
+    # a+b = min(rn)+max(rn): pure integer arithmetic, no intermediate
+    # double (sum(rn)*2/count routes through a float64 division whose
+    # mantissa runs out near n(n+1) > 2^53, i.e. per-group tie classes of
+    # ~9.5e7 rows — min+max never does). Same w_tie windows, same single
+    # sort exchange.
     w_rn = Window.partitionBy(group_col).orderBy(
         F.col(score_col).asc(), F.col("__y").asc()
     )
@@ -52,8 +56,8 @@ def auc_by_group(
     ).withColumn("__rn", F.row_number().over(w_rn))
     base = base.withColumn(
         "__mid2",
-        (F.sum("__rn").over(w_tie) * 2 / F.count(F.lit(1)).over(w_tie))
-        .cast("long"),  # exact: see above
+        (F.min("__rn").over(w_tie) + F.max("__rn").over(w_tie))
+        .cast("long"),
     )
     agg = base.groupBy(group_col).agg(
         F.sum("__y").cast("long").alias("n_pos"),

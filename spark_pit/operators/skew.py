@@ -91,7 +91,7 @@ def hot_entities_countmin(
     full-key distinct anywhere in the plan.
 
     Two bounded passes over the events:
-    1. candidates — a deterministic md5-fold row sample at rate
+    1. candidates — a per-physical-row hash sample at rate
        ``oversample / threshold``: a truly hot key (count > threshold)
        lands in the sample ~``oversample`` times in expectation, so the
        miss probability is e^-oversample ≈ 2e-22 at the default; the
@@ -124,10 +124,21 @@ def hot_entities_countmin(
     n = events.count()
     w_eff = max(w, (bias_factor * n) // max(threshold, 1) + 1)
     rate_denom = max(1, threshold // oversample)
-    # Per-row deterministic sampling: hash EVERY column so two events of
-    # the same key sample independently (xxhash64 of the key alone would
-    # take all-or-none of a key's rows).
-    row_hash = F.abs(F.xxhash64(*[F.col(c) for c in events.columns]))
+    # Per-row sampling: hash every column PLUS a per-row distinguisher.
+    # Hashing the values alone makes byte-identical rows sample
+    # all-or-none — a hot key made of replayed duplicate events (the
+    # telemetry-dup scenario horizon_dedup exists for) would then miss
+    # with probability ~(1 - 1/rate_denom) instead of e^-oversample.
+    # monotonically_increasing_id() breaks the tie per physical row; it is
+    # stable for a fixed source layout (same parquet → same ids), and
+    # detection only ROUTES keys, so layout changes never alter output
+    # semantics — only which keys take the salted path.
+    row_hash = F.abs(
+        F.xxhash64(
+            *[F.col(c) for c in events.columns],
+            F.monotonically_increasing_id(),
+        )
+    )
     cand = (
         events.where(row_hash % rate_denom == 0)
         .select(entity)

@@ -407,11 +407,19 @@ def streaming_target_encode(
             pdf = pdf.sort_values(order, kind="stable")
             v = pdf[target_col].to_numpy(dtype="float64")
             us = np.rint(v * 1e6).astype("int64")
-            # exclusive prefix sum = running sum BEFORE each row
-            prefix = np.concatenate(([0], np.cumsum(us)[:-1]))
+            # exclusive prefix sum = running sum BEFORE each row.
+            # Exactness is the contract, int64 just the fast path: if this
+            # single batch's cumsum could itself exceed int64 (conservative
+            # bound n*max|x|), compute it in object dtype (Python ints) so
+            # it never silently wraps — the carried-total guard below only
+            # covers the ADDITION of `total`, not intra-batch overflow.
+            mx = int(np.abs(us).max(initial=0))
+            if len(us) * mx >= (1 << 62):
+                csum = np.cumsum(us.astype(object))
+            else:
+                csum = np.cumsum(us)
+            prefix = np.concatenate(([0], csum[:-1]))
             if abs(total) >= (1 << 62) - abs(prefix).max(initial=0):
-                # beyond int64: promote to Python ints (object dtype) —
-                # exactness is the contract, int64 just the fast path
                 prefix = prefix.astype(object)
             run = prefix + total
             te_count = cnt + np.arange(len(pdf), dtype="int64")
@@ -453,9 +461,12 @@ def streaming_scd2(
     (ts, tiebreak). Null-safe attr compare (NaN/None == NaN/None), the
     batch operator's eqNullSafe."""
     ent_type = events.schema[entity].dataType.simpleString()
+    # Declared in attr_cols order (NOT schema field order): the state tuple
+    # is written/read positionally as (run_start, *cur) with cur in
+    # attr_cols order, so the state schema must share that order or a
+    # multi-attr caller gets values swapped across micro-batch boundaries.
     attr_decl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in events.schema.fields if f.name in attr_cols
+        f"{c} {events.schema[c].dataType.simpleString()}" for c in attr_cols
     )
     out_schema = (
         f"{entity} {ent_type}, {attr_decl}, "

@@ -243,3 +243,26 @@ def test_countmin_width_scales_with_data_not_constant(spark):
     # the autosized detector: exactly the one genuinely hot key
     got = hot_entities_countmin(ev, "k", threshold=400, w=1024)
     assert got == ["HOT"]
+
+
+def test_countmin_detects_duplicate_row_hot_key(spark):
+    """Regression (round-6 advice): a hot key made entirely of
+    byte-identical replayed rows (the telemetry-dup scenario) must still
+    be detected. Pre-fix the candidate sample hashed only column VALUES,
+    so identical rows sampled all-or-none and the hot key was missed with
+    probability ~(1 - 1/rate_denom) ~ 90% at defaults; post-fix each
+    physical row samples independently (miss ~ e^-oversample)."""
+    from spark_pit.operators.skew import hot_entities_countmin
+
+    base = spark.range(100_000).select(
+        (F.col("id") % 500).cast("string").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    # 2000 byte-identical rows for key DUP (same payload value every row)
+    dup = spark.range(2000).select(
+        F.lit("DUP").alias("k"), F.lit(-1).cast("long").alias("payload")
+    )
+    got = hot_entities_countmin(
+        base.unionByName(dup), "k", threshold=500, w=8192
+    )
+    assert "DUP" in got

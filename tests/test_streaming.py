@@ -461,3 +461,112 @@ def test_streaming_funnel_cross_batch_chain(spark, tmp_path):
         assert got[u]["c"] == want[u]["completed"]
     assert got["u1"]["d"] == 3 and got["u1"]["c"]          # cross-batch chain
     assert got["u2"]["d"] == 3 and not got["u2"]["c"]      # outside window
+
+
+def test_streaming_scd2_multi_attr_order_across_batches(spark, tmp_path):
+    """Regression (round-6 advice): with attr_cols in a DIFFERENT order
+    than the DataFrame schema AND mixed types, state restore across
+    micro-batch boundaries must not swap attribute values positionally.
+    Pre-fix, attr_decl followed schema order while state.update used
+    attr_cols order — a long/string swap here raises or closes wrong
+    intervals; post-fix the output equals the batch operator exactly."""
+    from datetime import datetime
+
+    from spark_pit.operators.windows import scd2_intervals
+    from spark_pit.streaming import streaming_scd2
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    # schema order: c1 (long) BEFORE c2 (string); attr_cols reversed below
+    batches = [
+        [("u1", t(1), 1, 10, "a"), ("u1", t(2), 2, 10, "a")],
+        [("u1", t(3), 3, 10, "a")],           # unchanged: spans batches
+        [("u1", t(5), 4, 20, "a"), ("u1", t(7), 5, 20, "b")],
+    ]
+    src_dir = tmp_path / "scd2_order_src"
+    src_dir.mkdir()
+    schema = "u string, ts timestamp_ltz, i long, c1 long, c2 string"
+    for k, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src_dir / f"b{k}")
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "b*"))
+    )
+    q = (
+        streaming_scd2(src, "u", "ts", ["c2", "c1"], tiebreak="i")
+        .writeStream.format("memory").queryName("scd2order")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_scd2order"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["u"], r["valid_from_us"]): (r["c2"], r["c1"], r["valid_to_us"])
+        for r in spark.sql("select * from scd2order").collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    want = {
+        (r["u"], r["valid_from_us"]): (r["c2"], r["c1"], r["valid_to_us"])
+        for r in scd2_intervals(
+            spark.createDataFrame(all_rows, schema), "u", "ts",
+            ["c2", "c1"], tiebreak="i",
+        ).where(F.col("is_current") == False).collect()  # noqa: E712
+    }
+    assert got == want
+    us = lambda s: int(datetime(2024, 1, 1, 0, 0, s).timestamp() * 1_000_000)
+    # two closed runs: (10,'a') t1->t5 (closed by a c1-only change carried
+    # across the batch-2 state restore) and (20,'a') t5->t7
+    assert got[("u1", us(1))] == ("a", 10, us(5))
+    assert got[("u1", us(5))] == ("a", 20, us(7))
+
+
+def test_streaming_target_encode_intra_batch_int64_overflow(spark, tmp_path):
+    """Regression (round-6 advice): a SINGLE micro-batch whose running sum
+    exceeds int64 must not wrap inside np.cumsum. Four rows of 4e18 µs
+    each: the 4th row's exclusive prefix is 1.2e19 > int64.max — pre-fix
+    the int64 cumsum silently wrapped negative; post-fix the object-dtype
+    path keeps it exact."""
+    from datetime import datetime
+
+    from spark_pit.streaming import streaming_target_encode
+
+    v = 4e12  # * 1e6 -> 4e18 µs, exactly representable in float64
+    rows = [
+        ("cat", datetime(2024, 1, 1, 0, 0, s), s, v) for s in range(1, 5)
+    ]
+    src_dir = tmp_path / "te_ovf_src"
+    src_dir.mkdir()
+    schema = "c string, ts timestamp_ltz, i long, v double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src_dir / "b0")
+    )
+    src = spark.readStream.schema(schema).parquet(str(src_dir / "b*"))
+    q = (
+        streaming_target_encode(src, "c", "ts", "v", tiebreak="i")
+        .writeStream.format("memory").queryName("teovf")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_teovf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["i"]: (r["te_count"], r["te_sum_str"])
+        for r in spark.sql("select * from teovf").collect()
+    }
+    unit = 4_000_000_000_000_000_000  # µs per row, a Python int
+    for k in range(1, 5):
+        cnt, s = got[k]
+        assert cnt == k - 1
+        if k == 1:
+            assert s is None
+        else:
+            run = unit * (k - 1)  # exact, > int64.max for k == 4
+            assert s == f"{run // 1_000_000}.{run % 1_000_000:06d}"
+    # the interesting row really is beyond int64
+    assert unit * 3 > 2**63 - 1
