@@ -676,7 +676,7 @@ def negative_sample(
     id_col: str,
     group_col: str,
     k: int = 3,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     salt: str = "neg1",
 ):
     """Deterministic contrastive negative sampling: per anchor, up to
@@ -691,14 +691,23 @@ def negative_sample(
     bucket id after a k-row probe explode — and within each probed
     bucket takes the candidate minimizing an anchor-dependent fold
     (row_number window). Intermediate size is k·(N/B) rows per anchor:
-    linear in N for B ∝ N (size B to ~N/16 at scale; the default 64 fits
-    the sandbox tables). A probe yields no row when its bucket holds
+    linear in N only for B ∝ N, so by default B is AUTOSIZED from a
+    cheap count — B = max(64, ceil(N/16)) — the countmin width-autosize
+    pattern (skew.hot_entities_countmin): a fixed default is exactly the
+    class of constant that becomes a ≥10M-row blowup (k·N²/64 join rows).
+    Pass ``n_buckets`` explicitly only to pin a reproducible B across
+    differently-sized inputs. A probe yields no row when its bucket holds
     only same-group candidates — by design (null-free output, depth
-    visible as missing j ranks).
+    visible as missing j ranks); expected probes-per-anchor stays ~N/B
+    ≈ 16 candidates under autosizing, independent of N.
 
     Returns (id, probe j, neg_id, neg_group)."""
     from pyspark.sql import Window
 
+    if n_buckets is None:
+        # parquet-backed count is metadata-cheap; derived B keeps the
+        # bucket-join intermediate at k*ceil(N/B) ~ 16k rows per anchor
+        n_buckets = max(64, -(-df.count() // 16))
     def fold(col):
         return (
             F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -298,28 +298,40 @@ def funnel_steps(
     completed steps), and ``completed`` — all steps reached, and, with
     ``within_s``, the whole chain inside the window from step 0.
 
-    Plan: one conditional-min aggregation per step, all on the SAME
-    entity hash partitioning — the first groupBy shuffles, every later
-    agg + join reuses that partitioning (co-partitioned joins, no extra
-    exchange under AQE), so cost is K co-located passes, never a
-    self-join blowup. K (funnel length) is small by construction.
-    Integer-microsecond timestamps end to end — exact in any engine."""
+    Plan: ONE scan of the input (filtered once to ``step_col isin
+    steps`` — pushed to the source) and ONE hash exchange on the entity.
+    Step k's timestamp is a conditional min over the whole entity
+    partition (unbounded window, no orderBy) referencing step k-1's
+    already-computed column — K chained Window operators that all reuse
+    the same partitioning, then a groupBy(entity) that reuses it again.
+    Versus the K-filtered-scan join chain this reads the raw table once
+    instead of K times, buffers are spillable (no per-group arrays), and
+    per-step timestamps stay exactly min{us : step=k, us > step_{k-1}}.
+    K (funnel length) is small by construction. Integer-microsecond
+    timestamps end to end — exact in any engine."""
     us = ts_us(F.col(ts))
-    base = df.select(F.col(entity), us.alias("__us"), F.col(step_col).alias("__step"))
-    cur = (
-        base.where(F.col("__step") == steps[0])
-        .groupBy(entity)
-        .agg(F.min("__us").alias("step0_ts_us"))
+    base = df.where(F.col(step_col).isin(list(steps))).select(
+        F.col(entity), us.alias("__us"), F.col(step_col).alias("__step")
+    )
+    w = Window.partitionBy(entity)
+    cur = base.withColumn(
+        "step0_ts_us",
+        F.min(F.when(F.col("__step") == steps[0], F.col("__us"))).over(w),
     )
     for k in range(1, len(steps)):
-        nxt = (
-            base.where(F.col("__step") == steps[k])
-            .join(cur.select(entity, f"step{k-1}_ts_us"), entity)
-            .where(F.col("__us") > F.col(f"step{k-1}_ts_us"))
-            .groupBy(entity)
-            .agg(F.min("__us").alias(f"step{k}_ts_us"))
+        cond = (F.col("__step") == steps[k]) & (
+            F.col("__us") > F.col(f"step{k-1}_ts_us")
         )
-        cur = cur.join(nxt, entity, "left")
+        cur = cur.withColumn(
+            f"step{k}_ts_us", F.min(F.when(cond, F.col("__us"))).over(w)
+        )
+    # one value per entity; groupBy reuses the window's hash partitioning
+    cur = cur.where(F.col("step0_ts_us").isNotNull()).groupBy(entity).agg(
+        *[
+            F.min(f"step{k}_ts_us").alias(f"step{k}_ts_us")
+            for k in range(len(steps))
+        ]
+    )
     depth = sum(
         F.when(F.col(f"step{k}_ts_us").isNotNull(), 1).otherwise(0)
         for k in range(len(steps))

@@ -2954,28 +2954,34 @@ GROUP BY event_type, bin
 
 
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic contrastive negative sampling (round 5): per doc, 3
-    cross-source negatives via md5-fold ring-bucket probes — ONE bucket
-    equi-join, no N² pairing, reproducible across engines (the oracle
-    replays the identical folds)."""
+    """Deterministic contrastive negative sampling (round 5; round 6:
+    bucket count AUTOSIZED as B = max(64, ceil(N/16)) from a
+    metadata-cheap count instead of a fixed 64 — the oracle derives the
+    identical B from count(*)): per doc, 3 cross-source negatives via
+    md5-fold ring-bucket probes — ONE bucket equi-join whose
+    intermediate stays ~16 candidates per probe at ANY N, no N²
+    pairing, reproducible across engines."""
     from spark_pit.operators.similarity import negative_sample
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return negative_sample(docs, "doc_id", "source", k=3, n_buckets=64)
+    return negative_sample(docs, "doc_id", "source", k=3)
 
 
 Q_NEGATIVE_SAMPLE_SQL = """
-WITH cand AS (
+WITH params AS (
+  SELECT greatest(64, (count(*) + 15) // 16) AS nb FROM documents
+),
+cand AS (
   SELECT doc_id AS cid, source AS cgrp,
          CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'neg1')),
-              1, 15)) AS BIGINT) % 64 AS b
-  FROM documents
+              1, 15)) AS BIGINT) % params.nb AS b
+  FROM documents, params
 ),
 probes AS (
   SELECT d.doc_id, d.source AS agrp, j.j,
          (CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR),
-               'neg1')), 1, 15)) AS BIGINT) + j.j) % 64 AS pb
-  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+               'neg1')), 1, 15)) AS BIGINT) + j.j) % params.nb AS pb
+  FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j), params
 ),
 joined AS (
   SELECT p.doc_id, p.j, c.cid, c.cgrp,

@@ -251,3 +251,32 @@ def test_negative_sample_leakage_guard_and_determinism(spark):
     out2 = negative_sample(df.repartition(13), "id", "grp", k=3, n_buckets=16).collect()
     key = lambda r: (r["id"], r["j"], r["neg_id"])
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_negative_sample_autosizes_buckets(spark):
+    """Regression (round-6 advice): with n_buckets omitted, B must derive
+    from the input size — B = max(64, ceil(N/16)) — so the bucket-join
+    intermediate stays ~16 candidates per probe at any N instead of
+    N/64 blowing up past ~10M rows (the countmin fixed-width class of
+    bug). Pins: (a) the autosized draw equals an explicit B of the same
+    formula, (b) small inputs floor at B=64, (c) B grows with N."""
+    from spark_pit.operators.similarity import negative_sample
+
+    small = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(200)], "id long, grp string"
+    )
+    # (b) floor: 200 rows -> ceil(200/16)=13 < 64 -> B=64
+    a = negative_sample(small, "id", "grp", k=2).collect()
+    b = negative_sample(small, "id", "grp", k=2, n_buckets=64).collect()
+    key = lambda r: (r["id"], r["j"], r["neg_id"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+    big = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(4000)], "id long, grp string"
+    )
+    # (a)+(c) 4000 rows -> B=ceil(4000/16)=250, NOT the old constant 64
+    c = negative_sample(big, "id", "grp", k=2).collect()
+    d = negative_sample(big, "id", "grp", k=2, n_buckets=250).collect()
+    e = negative_sample(big, "id", "grp", k=2, n_buckets=64).collect()
+    assert sorted(map(key, c)) == sorted(map(key, d))
+    assert sorted(map(key, c)) != sorted(map(key, e))
