@@ -9,6 +9,13 @@ slice) at any cardinality:
   with midrank tie handling: AUC = (Σ ranks(positives) − P(P+1)/2)/(P·N).
   Two window passes over one (group, score) sort; bit-identical across
   engines because every term is integer until the final single divide.
+- ``pr_auc_by_group`` — exact tie-grouped average precision (the
+  imbalanced-data default beside ROC-AUC): thresholds are the DISTINCT
+  scores descending, AP = Σ_i ΔR_i · P_i with P_i = TP_i/(TP_i+FP_i),
+  ΔR_i = Δtp_i/n_pos — the step-function AP that never depends on
+  tie-break order. All arithmetic is integer (decimal-128 intermediates,
+  integral ``div``) under a DEFINED per-term nano-unit quantization, so
+  the int64 micro-unit output is bit-identical across engines.
 - ``calibration_bins`` — reliability-diagram bins: per (group, bin)
   count, mean predicted score (int64 micro-units) and empirical positive
   rate (micro-units), with the bin edge convention floor(score·B) clamped
@@ -72,6 +79,76 @@ def auc_by_group(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.floor(auc * 1_000_000 + F.lit(0.5)).cast("long"),
         ).alias("auc_micro"),
+    )
+
+
+def pr_auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact per-group PR-AUC (tie-grouped average precision).
+
+    Definition (tie-safe, order-free): thresholds are the distinct
+    scores in descending order; at threshold i, TP_i/FP_i count
+    positives/negatives with score ≥ threshold_i, and
+
+        AP = Σ_i (Δtp_i / n_pos) · (TP_i / (TP_i + FP_i))
+
+    — the step-function AP over score-tie blocks, so it NEVER depends on
+    how a sort breaks ties (a rank-based AP does). Groups with no
+    positives yield null; with no negatives AP is exactly 1.
+
+    Exactness contract: every term is integer. Per threshold,
+    term_nano_i = round_half_up(Δtp_i·TP_i·10⁹ / (TP_i+FP_i)) computed
+    as (2a+b) div (2b) in decimal-128 (Spark integral ``div`` → long;
+    the oracle's HUGEINT ``//`` mirrors it), summed as int64 (≤
+    n_pos·10⁹, order-free), then pr_auc_micro =
+    round_half_up(Σ/(n_pos·1000)). The only quantization is the defined
+    per-term nano rounding (|error| ≤ 0.5·T/n_pos nano-units for T
+    thresholds) — bit-identical across engines at any cardinality.
+
+    Plan: groupBy(group, score) with map-side partial aggregation
+    collapses the full table to distinct thresholds BEFORE any wide
+    stage; the running-TP window and final per-group agg then run on
+    that reduced set (second exchange is over thresholds, not rows).
+
+    Returns (group, n_pos, n_neg, pr_auc_micro)."""
+    thr = (
+        df.select(
+            F.col(group_col),
+            F.col(score_col),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy(group_col, score_col)
+        .agg(
+            F.sum("__y").alias("__dp"),
+            (F.count(F.lit(1)) - F.sum("__y")).alias("__dn"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc())
+    cum = thr.withColumn("__tp", F.sum("__dp").over(w)).withColumn(
+        "__k", F.sum(F.col("__dp") + F.col("__dn")).over(w)
+    )
+    term = F.expr(
+        "(2 * CAST(__dp AS DECIMAL(38,0)) * __tp * 1000000000 + __k)"
+        " div (2 * CAST(__k AS DECIMAL(38,0)))"
+    )
+    agg = cum.groupBy(group_col).agg(
+        F.sum("__dp").cast("long").alias("n_pos"),
+        F.sum("__dn").cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("__dp") > 0, term)).cast("long").alias("__s"),
+    )
+    return agg.select(
+        group_col, "n_pos", "n_neg",
+        F.when(
+            F.col("n_pos") > 0,
+            F.expr(
+                "(2 * CAST(__s AS DECIMAL(38,0)) + CAST(n_pos AS DECIMAL(38,0)) * 1000)"
+                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * 1000)"
+            ),
+        ).cast("long").alias("pr_auc_micro"),
     )
 
 

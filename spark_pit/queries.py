@@ -2899,8 +2899,8 @@ base AS (
 ),
 mid AS (
   SELECT event_type, score, y,
-         CAST(sum(rn) OVER (PARTITION BY event_type, score) * 2
-              / count(*) OVER (PARTITION BY event_type, score) AS BIGINT)
+         CAST(min(rn) OVER (PARTITION BY event_type, score)
+              + max(rn) OVER (PARTITION BY event_type, score) AS BIGINT)
            AS mid2
   FROM base
 ),
@@ -2916,6 +2916,60 @@ SELECT event_type, n_pos, n_neg,
          CAST(floor((s2 - n_pos * (n_pos + 1))
                     / (2.0 * n_pos * n_neg) * 1000000 + 0.5) AS BIGINT)
        END AS auc_micro
+FROM agg
+"""
+
+
+def q_pr_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group PR-AUC (round 6): tie-grouped average precision —
+    thresholds are the DISTINCT scores descending, AP = Σ ΔR·P, every
+    term integer (decimal-128, integral div) under a defined per-term
+    nano quantization → int64 micro-units, bit-identical across
+    engines. Same deterministic scored derivation as auc_by_group
+    (mod-997 tie classes) so the tie-grouping path is exercised."""
+    from spark_pit.operators.evalmetrics import pr_auc_by_group
+
+    scored = _ev(spark, sf_dir).select(
+        "event_type",
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return pr_auc_by_group(scored, "event_type", "score", "label")
+
+
+Q_PR_AUC_BY_GROUP_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         (event_id % 997) / 997.0 AS score,
+         CAST(event_id % 3 = 0 AS INT) AS y
+  FROM events
+),
+thr AS (
+  SELECT event_type, score,
+         sum(y) AS dp, count(*) - sum(y) AS dn
+  FROM scored GROUP BY event_type, score
+),
+cum AS (
+  SELECT event_type, dp, dn,
+         sum(dp) OVER (PARTITION BY event_type ORDER BY score DESC) AS tp,
+         sum(dp + dn) OVER (PARTITION BY event_type ORDER BY score DESC) AS k
+  FROM thr
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(dp) AS BIGINT) AS n_pos,
+         CAST(sum(dn) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN dp > 0 THEN
+           CAST((2 * CAST(dp AS HUGEINT) * tp * 1000000000 + k)
+                // (2 * CAST(k AS HUGEINT)) AS BIGINT)
+         END) AS BIGINT) AS s
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n_pos, n_neg,
+       CASE WHEN n_pos > 0 THEN
+         CAST((2 * CAST(s AS HUGEINT) + CAST(n_pos AS HUGEINT) * 1000)
+              // (2 * CAST(n_pos AS HUGEINT) * 1000) AS BIGINT)
+       END AS pr_auc_micro
 FROM agg
 """
 
@@ -5889,6 +5943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_funnel_parity": q_streaming_funnel_parity,
     "negative_sample": q_negative_sample,
     "auc_by_group": q_auc_by_group,
+    "pr_auc_by_group": q_pr_auc_by_group,
     "calibration_bins": q_calibration_bins,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
@@ -6072,6 +6127,7 @@ ORACLES: dict[str, str] = {
     "streaming_funnel_parity": Q_STREAMING_FUNNEL_PARITY_SQL,
     "negative_sample": Q_NEGATIVE_SAMPLE_SQL,
     "auc_by_group": Q_AUC_BY_GROUP_SQL,
+    "pr_auc_by_group": Q_PR_AUC_BY_GROUP_SQL,
     "calibration_bins": Q_CALIBRATION_BINS_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
@@ -6156,75 +6212,29 @@ ORACLES: dict[str, str] = {
 }
 
 
-# Gate-window rotation (round 5): the driver certifies the FIRST 50 entries
-# of queries(); order below is oldest-certification-first so every r02-era
-# cert (3 rounds of code drift old) is re-certified this round. Union
-# coverage across CORRECTNESS_r01..r05 stays total. Rotate by editing this
+# Gate-window rotation (round 6): the driver certifies the FIRST 50 entries
+# of queries(); window = 3 never-certified/code-changed round-6 queries
+# (pr_auc_by_group new; negative_sample autosized B changes its output;
+# funnel_steps re-planned) + ALL 3 r02-era + ALL 44 r03-era certs —
+# oldest-certification-first exactly as the round-5 verdict asked. Union
+# coverage across CORRECTNESS_r01..r06 stays total. Rotate by editing this
 # list only — the QUERIES literal above is the registry, this is the window.
 GATE_ORDER: list[str] = [
-    # never-certified round-5 additions lead the window
-    "streaming_target_parity",
-    "streaming_scd2_parity",
-    "streaming_funnel_parity",
+    # round-6 window head: never-certified / code-changed this round
+    "pr_auc_by_group",
     "negative_sample",
-    "auc_by_group",
-    "calibration_bins",
-    "time_rollup",
     "funnel_steps",
-    "scd2_history",
-    # then r02-certified oracle-backed (oldest certs in the repo)
-    "asdc",
-    "autocorr",
-    "backfill",
-    "centroid_per_label",
-    "channel_correlation",
-    "connected_components",
-    "contact_graph_stats",
-    "cosine_topk",
-    "dbscan",
-    "dde",
-    "dedup_exact",
-    "distance_pair",
-    "distribution",
-    "doc_fingerprint",
-    "eigen_centrality",
-    "embedding_neardup",
-    "equal_length_stats",
-    "graph_path_stats",
-    "grouped_composition",
-    "grouped_kspaced_pairs",
-    "knn_label_fractions",
-    "lag_lead",
-    "lagk_pairs",
-    "lang_id",
-    "mcl_clusters",
-    "mean_impute",
-    "minhash_lsh_dedup",
-    "minhash_signatures",
-    "ngram_jaccard",
-    "positional_onehot",
-    "qso_order",
-    "resize_checksums",
-    "rolling_stats",
-    "sessionize",
-    "shell_composition",
-    "simhash",
-    "soc_number",
-    "stride_pairs",
-    "text_quality",
-    "token_composition",
-    "token_stats",
+    # r02-era certs (oldest in the repo) — complete
     "transitions",
     "window_composition",
     "zscore",
-    # 45-50: oldest r03-certified
+    # r03-era certs — complete; head+r02+r03 = the 50-query window
     "affinity_clusters",
     "agglomerative_fixture",
     "ann_lsh",
     "ann_mllib_recall",
     "asof_join_inclusive",
     "audio_checksums",
-    # 51+: remaining r03, then r04 (certified last round), then rows-only
     "ball_composition",
     "betweenness",
     "bisecting_fixture",
@@ -6263,6 +6273,7 @@ GATE_ORDER: list[str] = [
     "trigrams",
     "tsne_fixture",
     "zip_label_join",
+    # 51+: r04-era certs
     "aaindex_multi",
     "asof_join",
     "asof_join_forward",
@@ -6313,7 +6324,56 @@ GATE_ORDER: list[str] = [
     "unigram_surprisal",
     "winsorize_stats",
     "zorder_layout",
-    # rows-only (no SQL oracle; each has a driver-certified checksum twin)
+    # r05-era certs (fresh last round)
+    "asdc",
+    "auc_by_group",
+    "autocorr",
+    "backfill",
+    "calibration_bins",
+    "centroid_per_label",
+    "channel_correlation",
+    "connected_components",
+    "contact_graph_stats",
+    "cosine_topk",
+    "dbscan",
+    "dde",
+    "dedup_exact",
+    "distance_pair",
+    "distribution",
+    "doc_fingerprint",
+    "eigen_centrality",
+    "embedding_neardup",
+    "equal_length_stats",
+    "graph_path_stats",
+    "grouped_composition",
+    "grouped_kspaced_pairs",
+    "knn_label_fractions",
+    "lag_lead",
+    "lagk_pairs",
+    "lang_id",
+    "mcl_clusters",
+    "mean_impute",
+    "minhash_lsh_dedup",
+    "minhash_signatures",
+    "ngram_jaccard",
+    "positional_onehot",
+    "qso_order",
+    "resize_checksums",
+    "rolling_stats",
+    "scd2_history",
+    "sessionize",
+    "shell_composition",
+    "simhash",
+    "soc_number",
+    "streaming_funnel_parity",
+    "streaming_scd2_parity",
+    "streaming_target_parity",
+    "stride_pairs",
+    "text_quality",
+    "time_rollup",
+    "token_composition",
+    "token_stats",
+    # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",
     "embed_documents",

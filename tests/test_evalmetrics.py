@@ -70,3 +70,65 @@ def test_calibration_bins_edges_and_rates(spark):
     assert got[0]["mean_score_micro"] == 50_000
     assert got[9]["n"] == 2 and got[9]["pos_rate_micro"] == 1_000_000
     assert got[5]["pos_rate_micro"] == 0
+
+
+def _ref_pr_auc(scores, labels):
+    """Tie-grouped average precision straight from the definition:
+    thresholds = distinct scores desc; AP = sum(dtp/P * TP/(TP+FP))."""
+    scores, labels = np.asarray(scores, float), np.asarray(labels, int)
+    p = int(labels.sum())
+    if p == 0:
+        return None
+    ap, tp, k = 0.0, 0, 0
+    for s in sorted(set(scores), reverse=True):
+        m = scores == s
+        dtp = int(labels[m].sum())
+        tp += dtp
+        k += int(m.sum())
+        if dtp:
+            ap += (dtp / p) * (tp / k)
+    return ap
+
+
+def test_pr_auc_matches_reference_with_ties(spark):
+    from spark_pit.operators.evalmetrics import pr_auc_by_group
+
+    rows, data = [], {}
+    rng = np.random.default_rng(7)
+    for g in ["g1", "g2"]:
+        scores = np.round(rng.uniform(0, 1, 80), 1)   # heavy ties at 1dp
+        labels = (rng.uniform(0, 1, 80) < 0.25).astype(int)
+        data[g] = (scores, labels)
+        rows += [(g, float(s), int(y)) for s, y in zip(scores, labels)]
+    rows += [("g3", 0.5, 0), ("g3", 0.7, 0)]          # no positives -> null
+    rows += [("g4", 0.5, 1), ("g4", 0.7, 1)]          # no negatives -> 1.0
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["pr_auc_micro"])
+        for r in pr_auc_by_group(df, "g", "score", "label").collect()
+    }
+    for g in ["g1", "g2"]:
+        s, y = data[g]
+        want = _ref_pr_auc(s, y)
+        # defined quantization: per-term nano round -> micro surface
+        assert abs(got[g][2] - want * 1e6) <= 1.0, g
+        assert got[g][0] == int(y.sum()) and got[g][1] == int((1 - y).sum())
+    assert got["g3"][2] is None
+    assert got["g4"][2] == 1_000_000
+
+
+def test_pr_auc_perfect_and_worst_sanity(spark):
+    from spark_pit.operators.evalmetrics import pr_auc_by_group
+
+    # perfect separation -> AP = 1; positives all at the bottom ->
+    # AP = (1/P) * sum_{i=1..P} i/(N_neg+i) (exact closed form)
+    rows = [("p", float(i), int(i >= 50)) for i in range(100)]
+    rows += [("w", float(i), int(i < 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {
+        r["g"]: r["pr_auc_micro"]
+        for r in pr_auc_by_group(df, "g", "score", "label").collect()
+    }
+    assert got["p"] == 1_000_000
+    want_w = sum((i / (90 + i)) for i in range(1, 11)) / 10
+    assert abs(got["w"] - want_w * 1e6) <= 1.0
