@@ -1,0 +1,111 @@
+"""Physical-plan drift guard (round 6, verdict ask #1): the PLANS.md audit
+as a failing test instead of a per-round hand re-audit.
+
+Pins, for a representative query subset (the single-shuffle window
+families, the flagship pair, dedup_clusters, the as-of contract, the
+round-6 additions), the exact counter vector tools/explain_audit.py
+extracts from `explain("formatted")`: Exchange mentions (formatted plans
+list each exchange twice — tree + detail — so the numbers below are
+2× the physical shuffle count), broadcast/sort-merge/nested-loop joins,
+pushed-filter scans, Python-row vs Arrow UDFs, and the per-scan column
+NAMES (a new exchange, a lost pushdown, a widened scan, or `bytes`
+leaking into a scan plan all fail here the way registry drift fails
+test_registry.py).
+
+Expectations were generated on the conftest session config (local[4],
+shuffle_partitions=8, sf0.001) — the same fixture this test runs under.
+On an INTENTIONAL plan change, regenerate the entry via
+`python tools/explain_audit.py /root/testdata/sf0.001 <query>` and update
+the table with the why in the commit message.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from explain_audit import audit  # noqa: E402
+
+EV = ["event_id", "event_type", "ts", "user_id"]
+EVV = ["event_id", "event_type", "ts", "user_id", "value"]
+TSV = ["event_id", "ts", "user_id", "value"]
+DOC = ["doc_id", "source"]
+EMB = ["embedding", "vec_id"]
+
+# (exchanges, bcast, smj, nlj, pushed, pyrow, arrow, scan_fields)
+EXPECTED: dict[str, tuple] = {
+    # flagship pair: bytes/value pruned pre-shuffle, salted path adds the
+    # countmin detector's sampled scan + broadcast of the hot-key list
+    "pit_fused": (4, 0, 0, 0, 1, 0, 2, [EVV, EV]),
+    "pit_salted": (12, 2, 0, 0, 2, 0, 6, [EVV, EVV, EV, EV]),
+    "image_pit_checksums": (8, 0, 0, 0, 0, 0, 4, []),  # fixture-gen input
+    # star-edge dedup: 6 shuffles (band agg, star join, verify, CC rounds)
+    "dedup_clusters": (12, 0, 6, 0, 0, 0, 0, [["doc_id"], ["doc_id"]]),
+    # single-shuffle per-entity window family — ONE sort exchange each
+    "autocorr": (2, 0, 0, 0, 0, 0, 0, [TSV]),
+    "lag_lead": (2, 0, 0, 0, 0, 0, 0, [TSV]),
+    "sessionize": (2, 0, 0, 0, 0, 0, 0, [TSV]),
+    "rolling_stats": (2, 0, 0, 0, 0, 0, 0, [TSV]),
+    "window_composition": (2, 0, 0, 0, 0, 0, 0, [EV]),
+    "lagk_pairs": (2, 0, 0, 0, 0, 0, 0, [EV]),
+    "scd2_history": (2, 0, 0, 0, 0, 0, 0, [EV]),
+    # as-of: ONE sort exchange carries ALL feature groups (K-groups
+    # contract), filters pushed to the feature scans
+    "asof_join": (2, 0, 0, 0, 1, 0, 0, [["event_id", "ts", "user_id"], EVV]),
+    "asof_join_multi": (
+        2, 0, 0, 0, 2, 0, 0, [["event_id", "ts", "user_id"], EVV, EV],
+    ),
+    # round-6 shapes: funnel = ONE pushed-filter scan + ONE exchange;
+    # rollup = constant map-side explode then ONE shuffle; pr_auc's 2nd
+    # exchange is over DISTINCT thresholds (reduced set), not rows
+    "funnel_steps": (2, 0, 0, 0, 1, 0, 0, [["event_type", "ts", "user_id"]]),
+    "time_rollup": (2, 0, 0, 0, 0, 0, 0, [["event_type", "ts", "value"]]),
+    "auc_by_group": (2, 0, 0, 0, 0, 0, 0, [["event_id", "event_type"]]),
+    "pr_auc_by_group": (4, 0, 0, 0, 0, 0, 0, [["event_id", "event_type"]]),
+    "token_composition": (4, 0, 0, 0, 0, 0, 0, [["event_type", "user_id"]]),
+    # LSH-bucketed near-dup: candidates via broadcast bucket join, nlj=0
+    "embedding_neardup": (6, 6, 2, 0, 2, 0, 4, [["vec_id"], EMB, EMB, EMB, EMB]),
+    # zero-shuffle scan-side projections
+    "augment_plan": (0, 0, 0, 0, 0, 0, 0, [["doc_id"]]),
+    "opf_multihot": (0, 0, 0, 0, 0, 0, 0, [["doc_id", "text"]]),
+    # autosized ring-bucket negative sampling: ONE bucket equi-join
+    "negative_sample": (2, 2, 0, 0, 2, 0, 0, [DOC, DOC]),
+}
+
+
+def _audits(spark, sf_dir):
+    from spark_pit.queries import QUERIES
+
+    return {
+        name: audit(name, QUERIES[name](spark, sf_dir)) for name in EXPECTED
+    }
+
+
+def test_pinned_plan_shapes(spark, sf_dir):
+    got = _audits(spark, sf_dir)
+    drift = {}
+    for name, (exch, bcast, smj, nlj, push, pyrow, arrow, scans) in EXPECTED.items():
+        a = got[name]
+        have = (
+            a["exchanges"], a["broadcast_joins"], a["sort_merge_joins"],
+            a["nested_loop"], a["pushed_filters"], a["python_row_udf"],
+            a["arrow_udf"], a["scan_fields"],
+        )
+        want = (exch, bcast, smj, nlj, push, pyrow, arrow, scans)
+        if have != want:
+            drift[name] = {"want": want, "have": have}
+    assert not drift, f"physical-plan drift (see test header to re-pin): {drift}"
+
+
+def test_no_row_udf_no_cartesian_no_bytes_scan(spark, sf_dir):
+    """Invariants stronger than the pinned numbers: across the pinned
+    set no row-at-a-time Python UDF, no cartesian/nested-loop join, and
+    `bytes` never appears in a scan schema (the image flagship reads the
+    64-bit hash, never the payload)."""
+    for name, a in _audits(spark, sf_dir).items():
+        assert a["python_row_udf"] == 0, name
+        assert a["nested_loop"] == 0, name
+        for fields in a["scan_fields"]:
+            assert "bytes" not in fields, (name, fields)

@@ -38,6 +38,11 @@ def audit(name: str, df) -> dict:
         "arrow_udf": len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|MapInPandas", p)),
         "wscg": len(re.findall(r"WholeStageCodegen", p)),
         "scan_cols": [len(s.split(",")) if s else 0 for s in read_schemas],
+        # field NAMES per scan (schema-level: 'bytes' leaking into a scan
+        # is invisible in the count alone) — consumed by the plan guard
+        "scan_fields": [
+            sorted(f.split(":")[0] for f in s.split(",") if f) for s in read_schemas
+        ],
     }
 
 
