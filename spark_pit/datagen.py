@@ -283,6 +283,64 @@ def blobs_table(
     )
 
 
+def neardup_corpus(
+    spark: SparkSession,
+    n_clusters: int = 40,
+    members_lo: int = 3,
+    members_hi: int = 12,
+    n_background: int = 800,
+    template_len: int = 80,
+    vocab: int = 20_000,
+    seed: int = 11,
+) -> DataFrame:
+    """Planted near-duplicate corpus with KNOWN token-set Jaccard ground
+    truth (round-6 verdict ask #3: measure the star-form recall trade
+    empirically instead of stating the bound).
+
+    Each cluster has a ``template_len``-token template (distinct tokens,
+    sampled without replacement) and members that replace m template
+    tokens with fresh out-of-vocab tokens — intersection = L−m, union =
+    L+m, so true Jaccard = (L−m)/(L+m) EXACTLY and is swept across
+    members through the planned m values (J ≈ 0.95 … 0.45). Background
+    docs draw ``template_len`` tokens from the shared vocab — at
+    vocab=20k their pairwise Jaccard is ≪ 0.1, so ground-truth pairs are
+    (overwhelmingly) intra-cluster; the measurement tool still computes
+    the exact all-pairs truth via a token equi-join rather than trusting
+    the construction. Deterministic (np.random.default_rng(seed)).
+
+    Returns (doc_id long, cluster long — −1 for background, text string);
+    doc texts are space-joined distinct tokens, matching the dedup
+    pipeline's ``tokens()``/distinct-token Jaccard definition."""
+    rng = np.random.default_rng(seed)
+    # target J levels: m = round(L(1-J)/(1+J)) replaced tokens
+    j_levels = [0.95, 0.9, 0.8, 0.7, 0.6, 0.5, 0.45]
+    rows = []
+    doc_id = 0
+    fresh = vocab  # out-of-vocab token counter (unique per replacement)
+    for c in range(n_clusters):
+        tpl = rng.choice(vocab, size=template_len, replace=False)
+        k = int(rng.integers(members_lo, members_hi + 1))
+        rows.append((doc_id, c, " ".join(f"w{t}" for t in tpl)))
+        doc_id += 1
+        for i in range(k - 1):
+            j = j_levels[i % len(j_levels)]
+            # floor keeps the REALIZED J = (L-m)/(L+m) at or above the
+            # target level (round() would drop 0.8 to 0.798, crossing
+            # the bucket edge)
+            m = int(template_len * (1 - j) / (1 + j))
+            keep = rng.permutation(template_len)[: template_len - m]
+            toks = [f"w{tpl[p]}" for p in sorted(keep)]
+            toks += [f"x{fresh + q}" for q in range(m)]
+            fresh += m
+            rows.append((doc_id, c, " ".join(toks)))
+            doc_id += 1
+    for _ in range(n_background):
+        toks = rng.choice(vocab, size=template_len, replace=False)
+        rows.append((doc_id, -1, " ".join(f"w{t}" for t in toks)))
+        doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, cluster long, text string")
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI: write images.parquet + snapshots.parquet for the spark-submit
     image-pipeline path (`python -m spark_pit.datagen --out DIR`)."""

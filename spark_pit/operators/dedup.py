@@ -24,7 +24,15 @@ from spark_pit.operators.textstats import HASH_MOD, tok_hash, tokens
 
 # deterministic affine MinHash family (a, b) — small coefficients so
 # a * tok_hash + b stays < 2^63 (both engines overflow-check bigints)
-MINHASH_SEEDS = [(2 * i + 1, 7919 * (i + 1)) for i in range(16)]
+def _minhash_seeds(n: int) -> list[tuple[int, int]]:
+    """Affine-map seeds (odd multiplier, offset) mod HASH_MOD for ANY
+    n_hashes — a fixed 16-entry table silently truncated n_hashes=64 to
+    16 columns and broke the higher-recall banding configs (found by the
+    round-6 recall measurement)."""
+    return [(2 * i + 1, 7919 * (i + 1)) for i in range(n)]
+
+
+MINHASH_SEEDS = _minhash_seeds(16)  # the default-config table
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -57,7 +65,7 @@ def _minhash_wide(df: DataFrame, id_col: str, text_col: str, n_hashes: int) -> D
     toks = _distinct_tokens(df, id_col, text_col).withColumn("th", tok_hash(F.col("tok")))
     aggs = [
         F.min((F.lit(a) * F.col("th") + F.lit(b)) % HASH_MOD).alias(f"__m{i}")
-        for i, (a, b) in enumerate(MINHASH_SEEDS[:n_hashes])
+        for i, (a, b) in enumerate(_minhash_seeds(n_hashes))
     ]
     return toks.groupBy(id_col).agg(*aggs)
 
