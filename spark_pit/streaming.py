@@ -29,6 +29,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _whole_group(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Yield a group's micro-batch as ONE DataFrame (or nothing if empty).
+
+    applyInPandasWithState hands a group over as MULTIPLE Arrow chunks
+    (spark.sql.execution.arrow.maxRecordsPerBatch, ~10k rows) in POST-
+    SHUFFLE ARRIVAL order — not event-time order. Every stateful kernel
+    here documents "within a micro-batch rows are sorted by (ts,
+    tiebreak)"; sorting each chunk separately while carrying intra-batch
+    state chunk-to-chunk silently breaks that contract as soon as a
+    group exceeds one chunk per micro-batch (~10k rows/group) — a
+    ≥10M-row scale bug invisible at gate scale, caught by the round-6
+    streaming endurance protocol (10M events: stream != batch with
+    per-chunk sorts; bit-identical after this fix). Concatenating makes
+    the documented single sort real; memory is O(group rows in the
+    micro-batch) — the inherent cost of a correct within-batch sort —
+    while cross-batch state stays O(1)/O(k) per group."""
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        yield chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+
+
 def streaming_session_stats(
     events: DataFrame,
     entity: str,
@@ -101,7 +124,7 @@ def streaming_asof_features(
         import numpy as np
 
         last_id, last_ts = state.get if state.exists else (None, None)
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             ts_us = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
             pdf = pdf.assign(__ts_us=ts_us)
             is_snap = pdf[is_snap_col].to_numpy(dtype=bool)
@@ -179,7 +202,7 @@ def streaming_pit_features(
             count, last_ts, last_val = state.get
         else:
             count, last_ts, last_val = 0, None, None
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             pdf = pdf.sort_values(ts, kind="stable")
             t = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
             x = pdf[value_col].to_numpy(dtype=float)
@@ -297,7 +320,7 @@ def streaming_decayed_features(
         else:
             bk = np.empty(0, "int64"); ns = np.empty(0, "int64")
             vs = np.empty(0, "float64")
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             pdf = pdf.sort_values(ts, kind="stable")
             t_us = pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
             pdf = pdf.assign(__b=t_us // period_us)
@@ -401,7 +424,7 @@ def streaming_target_encode(
         else:
             cnt, total = 0, 0
         order = [ts] + ([tiebreak] if tiebreak else [])
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(order, kind="stable")
@@ -493,7 +516,7 @@ def streaming_scd2(
             run_start, cur = None, None
         order = [ts] + ([tiebreak] if tiebreak else [])
         ent = key[0]
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(order, kind="stable")
@@ -566,7 +589,7 @@ def streaming_funnel(
         order = [ts] + ([tiebreak] if tiebreak else [])
         ent = key[0]
         touched = False
-        for pdf in pdfs:
+        for pdf in _whole_group(pdfs):
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(order, kind="stable")

@@ -570,3 +570,61 @@ def test_streaming_target_encode_intra_batch_int64_overflow(spark, tmp_path):
             assert s == f"{run // 1_000_000}.{run % 1_000_000:06d}"
     # the interesting row really is beyond int64
     assert unit * 3 > 2**63 - 1
+
+
+def test_stateful_kernels_survive_multi_chunk_groups(spark, tmp_path):
+    """Regression (round-6 endurance find): applyInPandasWithState hands a
+    group over as MULTIPLE Arrow chunks in post-shuffle ARRIVAL order, not
+    event-time order. Pre-fix every stateful kernel sorted each chunk
+    separately and carried intra-batch state chunk-to-chunk — correct only
+    while a group fit one ~10k-row chunk, silently wrong beyond (at 10M
+    events the streaming target encoder diverged from batch on 99.8% of
+    rows). Reproduced at fixture scale by forcing 25-row Arrow chunks over
+    a 400-row shuffled single-category batch; pinned bit-equal to batch."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from spark_pit.operators.windows import target_encode_pit
+    from spark_pit.streaming import streaming_target_encode
+
+    rng = np.random.default_rng(5)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("cat", t0 + timedelta(seconds=int(i)), int(i), float(i % 8) / 8)
+        for i in range(400)
+    ]
+    rng.shuffle(rows)  # arrival order != event-time order within the batch
+    src_dir = tmp_path / "chunks_src"
+    src_dir.mkdir()
+    schema = "c string, ts timestamp_ltz, i long, v double"
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(src_dir / "b0"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "25")
+    try:
+        src = spark.readStream.schema(schema).parquet(str(src_dir / "b*"))
+        q = (
+            streaming_target_encode(src, "c", "ts", "v", tiebreak="i")
+            .writeStream.format("memory").queryName("multichunk")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_multichunk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        r["i"]: (r["te_count"], r["te_sum_str"])
+        for r in spark.sql("select * from multichunk").collect()
+    }
+    want = {
+        r["i"]: (
+            r["te_count"],
+            str(r["te_sum"]) if r["te_count"] > 0 else None,
+        )
+        for r in target_encode_pit(df, "c", "ts", "v", tiebreak="i").collect()
+    }
+    assert got == want

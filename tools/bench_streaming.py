@@ -86,10 +86,22 @@ def prepare(args) -> None:
     total = ev.count()
     os.makedirs(f"{DIR}/src", exist_ok=True)
     for b in range(N_CHUNKS):
+        # ONE file per chunk: a chunk's tied timestamps must never split
+        # across files, or a maxFilesPerTrigger boundary could put the
+        # two halves in different micro-batches (cross-batch disorder)
         (
-            ev.where(F.col("chunk") == b).drop("chunk").coalesce(2)
+            ev.where(F.col("chunk") == b).drop("chunk").coalesce(1)
             .write.mode("overwrite").parquet(f"{DIR}/src/b{b:03d}")
         )
+    # Spark's file source orders by MODIFICATION TIME (second granularity:
+    # sequential sub-second writes tie, and tie order is arbitrary listing
+    # order) — stamp strictly ascending mtimes so arrival order == event
+    # time, the ordered-arrival regime the stateful kernels document
+    base = int(time.time()) - N_CHUNKS * 100
+    for b in range(N_CHUNKS):
+        d = f"{DIR}/src/b{b:03d}"
+        for fname in os.listdir(d):
+            os.utime(f"{d}/{fname}", (base + b * 100, base + b * 100))
     print(json.dumps({"prepared_rows": total, "chunks": N_CHUNKS, "dir": f"{DIR}/src"}))
 
 
