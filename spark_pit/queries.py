@@ -5725,13 +5725,28 @@ WITH ev AS (
          epoch_us(ts) // 3600000000 AS b,
          ((CAST(floor(value * 8) AS BIGINT) % 1024) + 1024) % 1024 AS vq
   FROM events
+),
+-- bucket-aggregate form (round 6): the per-EVENT self-join formulation is
+-- O(events x partners) and DuckDB executed it as a range join that took
+-- ~9 min per 1M rows at the 10M tier; aggregating partners per (user,
+-- bucket) first and decaying ONCE per (user, bucket) pair is the Spark
+-- operator's own plan shape and BIT-IDENTICAL: weights are powers of 0.5
+-- (dyadic) with integer vq, so every partial sum is an exact multiple of
+-- 2^-20 far below 2^53 — summation order cannot change a bit.
+bk AS (
+  SELECT user_id, b, count(*) AS c, sum(vq) AS s FROM ev GROUP BY user_id, b
+),
+dec AS (
+  SELECT a.user_id, a.b,
+         COALESCE(SUM(p.c * power(0.5, a.b - p.b)), 0.0) AS dc,
+         COALESCE(SUM(p.s * power(0.5, a.b - p.b)), 0.0) AS ds
+  FROM bk a LEFT JOIN bk p
+    ON p.user_id = a.user_id AND p.b < a.b AND a.b - p.b <= 20
+  GROUP BY a.user_id, a.b
 )
-SELECT a.event_id, a.user_id, CAST(epoch_us(a.ts) AS BIGINT) AS ts_us,
-       COALESCE(SUM(power(0.5, a.b - b.b)), 0.0) AS decayed_count,
-       COALESCE(SUM(b.vq * power(0.5, a.b - b.b)), 0.0) AS decayed_sum
-FROM ev a LEFT JOIN ev b
-  ON b.user_id = a.user_id AND b.b < a.b AND a.b - b.b <= 20
-GROUP BY a.event_id, a.user_id, a.ts
+SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       d.dc AS decayed_count, d.ds AS decayed_sum
+FROM ev e JOIN dec d ON d.user_id = e.user_id AND d.b = e.b
 """
 
 
