@@ -5726,22 +5726,23 @@ WITH ev AS (
          ((CAST(floor(value * 8) AS BIGINT) % 1024) + 1024) % 1024 AS vq
   FROM events
 ),
--- bucket-aggregate form (round 6): the per-EVENT self-join formulation is
--- O(events x partners) and DuckDB executed it as a range join that took
--- ~9 min per 1M rows at the 10M tier; aggregating partners per (user,
--- bucket) first and decaying ONCE per (user, bucket) pair is the Spark
--- operator's own plan shape and BIT-IDENTICAL: weights are powers of 0.5
--- (dyadic) with integer vq, so every partial sum is an exact multiple of
--- 2^-20 far below 2^53 — summation order cannot change a bit.
+-- explicit-lag equi-join form (round 6): the inequality-join formulations
+-- (per-event AND per-bucket) make DuckDB pick a range-join plan costing
+-- ~9 min per 1M rows at the 10M tier. Expanding the 20 decay lags
+-- map-side and joining on EQUALITY of (user_id, b - d) is a pure hash
+-- join — and the Spark operator's own fan-out shape. BIT-IDENTICAL:
+-- weights are powers of 0.5 (dyadic) with integer vq, so every partial
+-- sum is an exact multiple of 2^-20 far below 2^53 — summation order
+-- cannot change a bit.
 bk AS (
   SELECT user_id, b, count(*) AS c, sum(vq) AS s FROM ev GROUP BY user_id, b
 ),
 dec AS (
   SELECT a.user_id, a.b,
-         COALESCE(SUM(p.c * power(0.5, a.b - p.b)), 0.0) AS dc,
-         COALESCE(SUM(p.s * power(0.5, a.b - p.b)), 0.0) AS ds
-  FROM bk a LEFT JOIN bk p
-    ON p.user_id = a.user_id AND p.b < a.b AND a.b - p.b <= 20
+         COALESCE(SUM(p.c * power(0.5, l.d)), 0.0) AS dc,
+         COALESCE(SUM(p.s * power(0.5, l.d)), 0.0) AS ds
+  FROM bk a CROSS JOIN range(1, 21) l(d)
+  LEFT JOIN bk p ON p.user_id = a.user_id AND p.b = a.b - l.d
   GROUP BY a.user_id, a.b
 )
 SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
