@@ -49,7 +49,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_pit import kernels
 from spark_pit.util import ts_us
 
 CHUNK = "__chunk"
@@ -216,12 +215,14 @@ def pit_features_salted(
             sn.where(F.col(entity).isin(hot_ids)),
             entity, ts, numeric_col, token_col, vocab,
             snap_ts, snap_id, gap_seconds, width, chunk_seconds, tiebreak,
+            num_buckets=num_buckets,
         )
         return cold.unionByName(hot)
 
     return _salted_path(
         ev, sn, entity, ts, numeric_col, token_col, vocab,
         snap_ts, snap_id, gap_seconds, width, chunk_seconds, tiebreak,
+        num_buckets=num_buckets,
     )
 
 
@@ -239,165 +240,264 @@ def _salted_path(
     width: int,
     chunk_seconds: int,
     tiebreak: str | None = None,
+    num_buckets: int = 256,
 ) -> DataFrame:
-    spark = ev.sparkSession
+    """Salted PIT kernel with zero per-group Python overhead.
+
+    The first version of this path ran one pandas call per (entity, chunk)
+    group three times over. At the 10M-row scale tier (150k entities x 6h
+    chunks over 30 days) that is ~9M near-singleton Arrow batches — hours
+    of pure Python dispatch for seconds of real work, found by the round-6
+    full-registry gate at the tier. The rebuilt plan:
+
+    1. **Chunk summaries — pure JVM.** One window pass partitioned on the
+       salted key (entity, chunk) computes row counts, first/last
+       timestamps, internal session breaks, trailing-run length, the last
+       non-null value and the trailing ``width-1`` (ts, value, token)
+       tail — via lag / row_number / conditional struct min-max /
+       bounded collect_list. groupBy reuses the window's partitioning:
+       ONE exchange of the events, no Python.
+    2. **Carry scan — pure JVM.** The per-entity recurrences over chunk
+       summaries are all window-expressible: session offset is a prefix
+       sum, the open-run length is a max-of-reset-struct + prefix-count
+       difference, the backfill seed is last(ignorenulls), the carried
+       tail is a bounded ``rows between -k and -1`` flatten+slice, and
+       the strictly-before snapshot carry comes from a union frame
+       ordered (chunk, tag) with snapshots sorting AFTER events of the
+       same chunk. Summaries are tiny (one row per populated chunk), so
+       these exchanges are negligible.
+    3. **Bucketed margin-row kernel.** Carries (scalars + tail arrays)
+       and chunk snapshots ride the cogroup's RIGHT side keyed by
+       pmod(xxhash64(entity, chunk), B) — the former broadcast join of
+       carries onto the event stream is gone (it was itself an at-scale
+       hazard: in all-salted equivalence mode the carry table is
+       O(populated chunks), far past broadcast size). Inside the kernel
+       the carried tails are materialized as margin rows, concatenated
+       with the bucket's body rows, and every feature runs
+       segment-vectorized over (entity, chunk) segments exactly like
+       pit_features_bucketed — per-batch cost is paid B times total,
+       independent of how many (entity, chunk) groups exist.
+
+    Bit-identical to pit_features_cursor by the same margin/carry
+    algebra as before (module docstring); tests/test_skew.py asserts it.
+    """
+    from pyspark.sql import Window
+
     code = {t: i for i, t in enumerate(vocab)}
     V = len(vocab)
     ent_type = ev.schema[entity].dataType.simpleString()
     chunk_us = chunk_seconds * 1_000_000
     gap_us = gap_seconds * 1_000_000
     tail_n = max(width - 1, 1)
-    sort_keys = [ts, tiebreak] if tiebreak else [ts]
     tb_field = (
         f"{tiebreak} {ev.schema[tiebreak].dataType.simpleString()}, " if tiebreak else ""
     )
 
-    ev_c = ev.withColumn(CHUNK, F.floor(ts_us(ts) / F.lit(chunk_us)))
-    sn_c = sn.withColumn(CHUNK, F.floor(ts_us(snap_ts) / F.lit(chunk_us)))
-
-    # ---- 1. chunk summaries (non-skewed agg on the salted key) ----------
-    summ_schema = (
-        f"{entity} {ent_type}, {CHUNK} long, n_rows long, "
-        "first_ts_us long, last_ts_us long, first_value double, "
-        "last_nonnull double, internal_breaks long, trail_run long, "
-        "tail_ts array<long>, tail_val array<double>, tail_tok array<string>"
+    ev_c = ev.withColumn("__tus", ts_us(ts)).withColumn(
+        CHUNK, F.floor(F.col("__tus") / F.lit(chunk_us))
+    )
+    sn_c = sn.withColumn("__stus", ts_us(snap_ts)).withColumn(
+        CHUNK, F.floor(F.col("__stus") / F.lit(chunk_us))
     )
 
-    def ev_summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_keys, kind="stable")
-        t = _to_us(pdf[ts])
-        x = pdf[numeric_col].to_numpy(dtype=np.float64)
-        n = len(pdf)
-        brk = (np.diff(t) > gap_us) if n > 1 else np.zeros(0, dtype=bool)
-        internal = int(brk.sum())
-        trail = n if internal == 0 else n - (np.flatnonzero(brk)[-1] + 1)
-        nn = np.flatnonzero(~np.isnan(x))
-        k = min(tail_n, n)
-        return pd.DataFrame(
-            {
-                entity: [pdf[entity].iloc[0]],
-                CHUNK: [pdf[CHUNK].iloc[0]],
-                "n_rows": [n],
-                "first_ts_us": [int(t[0])],
-                "last_ts_us": [int(t[-1])],
-                "first_value": [float(x[0])],
-                "last_nonnull": [float(x[nn[-1]]) if len(nn) else np.nan],
-                "internal_breaks": [internal],
-                "trail_run": [int(trail)],
-                "tail_ts": [[int(v) for v in t[-k:]]],
-                "tail_val": [[float(v) for v in x[-k:]]],
-                "tail_tok": [list(pdf[token_col].iloc[-k:])],
-            }
+    # ---- 1. chunk summaries: one JVM window + agg on the salted key -----
+    tb_cols = [tiebreak] if tiebreak else []
+    asc = [F.col("__tus").asc()] + [F.col(c).asc() for c in tb_cols]
+    desc = [F.col("__tus").desc()] + [F.col(c).desc() for c in tb_cols]
+    W = Window.partitionBy(entity, CHUNK).orderBy(*asc)
+    Wd = Window.partitionBy(entity, CHUNK).orderBy(*desc)
+
+    brk = F.when(
+        F.col("__tus") - F.lag("__tus").over(W) > F.lit(gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    # struct field order (t, [k], ...) makes sort_array/min/max follow the
+    # kernel's (ts, tiebreak) sort exactly, ties included
+    def _keyed(*payload):
+        return F.struct(
+            F.col("__tus").alias("t"),
+            *[F.col(c).alias("k") for c in tb_cols],
+            *payload,
         )
 
-    ev_summ = ev_c.groupBy(entity, CHUNK).applyInPandas(ev_summarize, summ_schema)
-
-    # snapshot-side key columns are renamed throughout: snapshots often
-    # descend from the same source as events (a filtered view), and
-    # same-name/same-exprId keys on both sides of a cogroup trip Spark's
-    # ambiguous-self-join check. The kernels never read the snapshot side's
-    # entity column, only its payload.
-    sn_summ = (
-        sn_c.groupBy(entity, CHUNK)
-        .agg(F.max(F.struct(ts_us(snap_ts).alias("t"), F.col(snap_id).alias("i"))).alias("m"))
+    evw = ev_c.select(
+        entity, CHUNK, "__tus", *tb_cols, numeric_col, token_col,
+        brk.alias("__brk"),
+        F.row_number().over(W).alias("__rn"),
+        F.row_number().over(Wd).alias("__rnd"),
+    )
+    tail_struct = F.when(
+        F.col("__rnd") <= F.lit(tail_n),
+        _keyed(
+            F.col(numeric_col).alias("v"), F.col(token_col).alias("tok")
+        ),
+    )
+    summ = (
+        evw.groupBy(entity, CHUNK)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__tus").alias("first_ts_us"),
+            F.max("__tus").alias("last_ts_us"),
+            F.min(_keyed(F.col(numeric_col).alias("v"))).alias("__fv"),
+            F.max(
+                F.when(
+                    F.col(numeric_col).isNotNull(),
+                    _keyed(F.col(numeric_col).alias("v")),
+                )
+            ).alias("__lnn"),
+            F.sum("__brk").alias("internal_breaks"),
+            F.max(F.when(F.col("__brk") == 1, F.col("__rn"))).alias("__lastbrk"),
+            F.sort_array(F.collect_list(tail_struct)).alias("tail"),
+        )
         .select(
-            F.col(entity).alias("__se"),
-            F.col(CHUNK).alias("__sc"),
-            F.col("m.t").alias("snap_last_ts"),
-            F.col("m.i").alias("snap_last_id"),
+            entity, CHUNK, "n_rows", "first_ts_us", "last_ts_us",
+            F.col("__fv.v").alias("first_value"),
+            F.col("__lnn.v").alias("last_nonnull"),
+            "internal_breaks",
+            F.when(F.col("__lastbrk").isNull(), F.col("n_rows"))
+            .otherwise(F.col("n_rows") - F.col("__lastbrk") + 1)
+            .alias("trail_run"),
+            "tail",
         )
     )
 
-    # ---- 2. per-entity carry scan over summaries -------------------------
-    carry_schema = (
-        f"{entity} {ent_type}, {CHUNK} long, c_last_sess long, c_open_run long, "
-        "c_prev_last_ts long, c_bf_seed double, c_snap_ts long, c_snap_id long, "
-        "c_next_first double, "
-        "c_tail_ts array<long>, c_tail_val array<double>, c_tail_tok array<string>"
+    # ---- 2. per-entity carries: JVM windows over the tiny summary table -
+    We = Window.partitionBy(entity).orderBy(CHUNK)
+    flat = F.flatten(
+        F.collect_list("tail").over(We.rowsBetween(-tail_n, -1))
+    )
+    summ2 = summ.select(
+        "*",
+        F.when(
+            F.size(flat) > tail_n,
+            F.slice(flat, F.size(flat) - F.lit(tail_n - 1), tail_n),
+        )
+        .otherwise(flat)
+        .alias("c_tail"),
+        F.lead("first_value").over(We).alias("c_next_first"),
     )
 
-    def scan(evs: pd.DataFrame, sns: pd.DataFrame) -> pd.DataFrame:
-        if len(evs) == 0:
-            return pd.DataFrame(
-                columns=[f.strip().split(" ")[0] for f in carry_schema.split(",")]
-            )
-        evs = evs.sort_values(CHUNK).reset_index(drop=True)
-        snap_by_chunk = {}
-        if len(sns):
-            for _, r in sns.iterrows():
-                snap_by_chunk[int(r["__sc"])] = (int(r["snap_last_ts"]), int(r["snap_last_id"]))
-        snap_chunks = sorted(snap_by_chunk)
-
-        last_sess = -1
-        open_run = 0
-        prev_last_ts: int | None = None
-        bf_seed = np.nan
-        tail_ts: list[int] = []
-        tail_val: list[float] = []
-        tail_tok: list[str] = []
-        si = 0  # cursor into snap_chunks
-        cur_snap = (None, None)  # latest snapshot strictly before current chunk start
-        out = []
-        for _, row in evs.iterrows():
-            c = int(row[CHUNK])
-            # advance snapshot cursor: all snapshot chunks < c are in the past
-            while si < len(snap_chunks) and snap_chunks[si] < c:
-                cur_snap = snap_by_chunk[snap_chunks[si]]
-                si += 1
-            out.append(
-                {
-                    entity: row[entity],
-                    CHUNK: c,
-                    "c_last_sess": last_sess,
-                    "c_open_run": open_run,
-                    "c_prev_last_ts": prev_last_ts if prev_last_ts is not None else -1,
-                    "c_bf_seed": bf_seed,
-                    "c_snap_ts": cur_snap[0] if cur_snap[0] is not None else -1,
-                    "c_snap_id": cur_snap[1] if cur_snap[1] is not None else -1,
-                    "c_tail_ts": list(tail_ts),
-                    "c_tail_val": list(tail_val),
-                    "c_tail_tok": list(tail_tok),
-                }
-            )
-            boundary = prev_last_ts is None or (row["first_ts_us"] - prev_last_ts > gap_us)
-            sessions_in = int(row["internal_breaks"]) + (1 if boundary else 0)
-            last_sess += sessions_in
-            if sessions_in == 0:
-                open_run += int(row["n_rows"])
-            else:
-                open_run = int(row["trail_run"])
-            prev_last_ts = int(row["last_ts_us"])
-            if not np.isnan(row["last_nonnull"]):
-                bf_seed = float(row["last_nonnull"])
-            tail_ts = (tail_ts + list(row["tail_ts"]))[-tail_n:]
-            tail_val = (tail_val + list(row["tail_val"]))[-tail_n:]
-            tail_tok = (tail_tok + list(row["tail_tok"]))[-tail_n:]
-        res = pd.DataFrame(out)
-        # next populated chunk's first value (for lead-1 at chunk tails)
-        res["c_next_first"] = evs["first_value"].shift(-1).to_numpy()
-        return res[
-            [entity, CHUNK, "c_last_sess", "c_open_run", "c_prev_last_ts",
-             "c_bf_seed", "c_snap_ts", "c_snap_id", "c_next_first",
-             "c_tail_ts", "c_tail_val", "c_tail_tok"]
-        ]
-
-    carries = (
-        ev_summ.groupBy(entity)
-        .cogroup(sn_summ.groupBy("__se"))
-        .applyInPandas(scan, carry_schema)
+    sn_summ = sn_c.groupBy(entity, CHUNK).agg(
+        F.max(
+            F.struct(F.col("__stus").alias("t"), F.col(snap_id).cast("long").alias("i"))
+        ).alias("__snap")
+    )
+    # union frame: snapshots sort AFTER the event summary of the same
+    # chunk (tag 1 > 0), so last(ignorenulls) over (unbounded, -1) yields
+    # the latest snapshot of a STRICTLY smaller chunk — the scan cursor.
+    u = summ2.select(
+        "*", F.lit(0).alias("__tag"),
+        F.lit(None).cast("struct<t:bigint,i:bigint>").alias("__snap"),
+    ).unionByName(
+        sn_summ.select(
+            entity, CHUNK,
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("first_ts_us"),
+            F.lit(None).cast("long").alias("last_ts_us"),
+            F.lit(None).cast("double").alias("first_value"),
+            F.lit(None).cast("double").alias("last_nonnull"),
+            F.lit(None).cast("long").alias("internal_breaks"),
+            F.lit(None).cast("long").alias("trail_run"),
+            F.lit(None).cast(summ.schema["tail"].dataType).alias("tail"),
+            F.lit(None).cast(summ.schema["tail"].dataType).alias("c_tail"),
+            F.lit(None).cast("double").alias("c_next_first"),
+            F.lit(1).alias("__tag"),
+            F.col("__snap"),
+        )
+    )
+    Wu = Window.partitionBy(entity).orderBy(CHUNK, "__tag")
+    Wp = Wu.rowsBetween(Window.unboundedPreceding, -1)
+    u = (
+        u.withColumn("__prev_last", F.last("last_ts_us", ignorenulls=True).over(Wp))
+        .withColumn(
+            "__sessions_in",
+            F.when(F.col("__tag") == 1, F.lit(None).cast("long")).otherwise(
+                F.col("internal_breaks")
+                + F.when(
+                    F.col("__prev_last").isNull()
+                    | (F.col("first_ts_us") - F.col("__prev_last") > F.lit(gap_us)),
+                    1,
+                ).otherwise(0)
+            ),
+        )
+        .withColumn(
+            "c_last_sess",
+            F.coalesce(F.sum("__sessions_in").over(Wp), F.lit(0)) - F.lit(1),
+        )
+        .withColumn(
+            "__cumn",
+            F.sum("n_rows").over(Wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__rnu", F.row_number().over(Wu))
+        .withColumn(
+            "__reset",
+            F.max(
+                F.when(
+                    F.col("__sessions_in") > 0,
+                    F.struct(
+                        F.col("__rnu").alias("r"),
+                        F.col("trail_run").alias("tr"),
+                        F.col("__cumn").alias("cn"),
+                    ),
+                )
+            ).over(Wp),
+        )
+        .withColumn(
+            "c_open_run",
+            F.when(F.col("__reset").isNull(), F.lit(0)).otherwise(
+                F.col("__reset.tr")
+                + (F.col("__cumn") - F.col("n_rows"))
+                - F.col("__reset.cn")
+            ),
+        )
+        .withColumn("c_bf_seed", F.last("last_nonnull", ignorenulls=True).over(Wp))
+        .withColumn("__csnap", F.last("__snap", ignorenulls=True).over(Wp))
+    )
+    carries = u.where(F.col("__tag") == 0).select(
+        F.col(entity).alias("__re"),
+        F.col(CHUNK).alias("__rc"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("long").alias("s_t"),
+        F.lit(None).cast("long").alias("s_i"),
+        "c_last_sess",
+        "c_open_run",
+        "c_bf_seed",
+        F.col("__csnap.t").alias("c_snap_ts"),
+        F.col("__csnap.i").alias("c_snap_id"),
+        "c_next_first",
+        F.transform("c_tail", lambda s: s["t"]).alias("c_tail_ts"),
+        F.transform("c_tail", lambda s: s["v"]).alias("c_tail_val"),
+        F.transform("c_tail", lambda s: s["tok"]).alias("c_tail_tok"),
     )
 
-    # carries are tiny (one row per populated chunk of a hot entity) →
-    # broadcast-join them onto the salted event stream. The carry keys are
-    # renamed to break the self-join lineage (carries descend from ev_c).
-    carries_r = carries.withColumnRenamed(entity, "__ce").withColumnRenamed(CHUNK, "__cc")
-    ev_k = ev_c.join(
-        F.broadcast(carries_r),
-        (F.col(entity) == F.col("__ce")) & (F.col(CHUNK) == F.col("__cc")),
-        "left",
-    ).drop("__ce", "__cc")
+    # ---- 3. bucketed kernel: carries + snapshots on the cogroup right ---
+    nulls = [
+        F.lit(None).cast("long").alias("c_last_sess"),
+        F.lit(None).cast("long").alias("c_open_run"),
+        F.lit(None).cast("double").alias("c_bf_seed"),
+        F.lit(None).cast("long").alias("c_snap_ts"),
+        F.lit(None).cast("long").alias("c_snap_id"),
+        F.lit(None).cast("double").alias("c_next_first"),
+        F.lit(None).cast("array<long>").alias("c_tail_ts"),
+        F.lit(None).cast("array<double>").alias("c_tail_val"),
+        F.lit(None).cast("array<string>").alias("c_tail_tok"),
+    ]
+    r_sn = sn_c.select(
+        F.col(entity).alias("__re"),
+        F.col(CHUNK).alias("__rc"),
+        F.lit(0).alias("__tag"),
+        F.col("__stus").alias("s_t"),
+        F.col(snap_id).cast("long").alias("s_i"),
+        *nulls,
+    )
+    right = r_sn.unionByName(carries).withColumn(
+        "__b",
+        F.pmod(F.xxhash64(F.col("__re"), F.col("__rc")), F.lit(num_buckets)).cast("int"),
+    )
+    left = ev_c.select(entity, CHUNK, ts, *tb_cols, numeric_col, token_col).withColumn(
+        "__b",
+        F.pmod(F.xxhash64(F.col(entity), F.col(CHUNK)), F.lit(num_buckets)).cast("int"),
+    )
 
-    # ---- 3. salted kernel: margin tail + body, emit body only -----------
     out_schema = (
         f"{entity} {ent_type}, {ts} timestamp_ntz, {tb_field}"
         f"{numeric_col} double, {token_col} string, "
@@ -408,127 +508,222 @@ def _salted_path(
         f"wc array<double>"
     )
 
-    def kern(ev_pdf: pd.DataFrame, sn_pdf: pd.DataFrame) -> pd.DataFrame:
+    def kern(ev_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(ev_pdf) == 0:
             return pd.DataFrame(
                 columns=[f.strip().split(" ")[0] for f in out_schema.split(",")]
             )
-        ev_pdf = ev_pdf.sort_values(sort_keys, kind="stable").reset_index(drop=True)
-        c0 = ev_pdf.iloc[0]
-        m_ts = np.asarray(c0["c_tail_ts"] if c0["c_tail_ts"] is not None else [], dtype=np.int64)
-        m_val = np.asarray(c0["c_tail_val"] if c0["c_tail_val"] is not None else [], dtype=np.float64)
-        m_tok = list(c0["c_tail_tok"]) if c0["c_tail_tok"] is not None else []
-        m = len(m_ts)
+        cy = r_pdf[r_pdf["__tag"] == 1]
+        sns = r_pdf[r_pdf["__tag"] == 0]
+        n_b = len(ev_pdf)
 
-        b_ts = _to_us(ev_pdf[ts])
-        b_val = ev_pdf[numeric_col].to_numpy(dtype=np.float64)
-        t = np.concatenate([m_ts, b_ts])
-        x = np.concatenate([m_val, b_val])
-        toks = m_tok + list(ev_pdf[token_col])
-        codes = np.asarray([code.get(tk, -1) for tk in toks], dtype=np.int64)
-        n = len(t)
-        nb = n - m
-
-        out = pd.DataFrame(
-            {
-                entity: ev_pdf[entity],
-                ts: ev_pdf[ts],
-                **({tiebreak: ev_pdf[tiebreak]} if tiebreak else {}),
-                numeric_col: ev_pdf[numeric_col],
-                token_col: ev_pdf[token_col],
-            }
-        )
-
-        # --- as-of: carried pre-chunk snapshot + this chunk's snapshots ---
-        s_ts_list, s_id_list = [], []
-        if c0["c_snap_ts"] is not None and int(c0["c_snap_ts"]) >= 0:
-            s_ts_list.append(int(c0["c_snap_ts"]))
-            s_id_list.append(int(c0["c_snap_id"]))
-        if len(sn_pdf):
-            sn_pdf = sn_pdf.sort_values([snap_ts, snap_id], kind="stable")
-            s_ts_list.extend(_to_us(sn_pdf[snap_ts]).tolist())
-            s_id_list.extend(sn_pdf[snap_id].to_numpy(dtype=np.int64).tolist())
-        if s_ts_list:
-            sts = np.asarray(s_ts_list, dtype=np.int64)
-            sids = np.asarray(s_id_list, dtype=np.int64)
-            idx = kernels.asof_indices(b_ts, sts, strict=True)
-            matched = idx >= 0
-            take = idx.clip(0)
-            sid = pd.Series(sids[take], dtype="Int64")
-            sid[~matched] = pd.NA
-            age = (b_ts - sts[take]) / 1e6
-            age[~matched] = np.nan
-            out["asof_snapshot_id"] = sid
-            out["asof_age_sec"] = age
+        # --- margin rows from carried tails ---
+        tails_t = list(cy["c_tail_ts"]) if len(cy) else []
+        lens = np.fromiter((len(a) for a in tails_t), dtype=np.int64, count=len(tails_t))
+        n_m = int(lens.sum()) if len(lens) else 0
+        if n_m:
+            m_t = np.concatenate([np.asarray(a, dtype=np.int64) for a in tails_t if len(a)])
+            m_v = np.concatenate(
+                [np.asarray(a, dtype=np.float64) for a in cy["c_tail_val"] if len(a)]
+            )
+            m_tok = [t for a in cy["c_tail_tok"] for t in a]
         else:
-            out["asof_snapshot_id"] = pd.array([pd.NA] * nb, dtype="Int64")
-            out["asof_age_sec"] = np.nan
+            m_t = np.zeros(0, dtype=np.int64)
+            m_v = np.zeros(0, dtype=np.float64)
+            m_tok = []
 
-        # --- lag1 / lead1 over margin+body ---
+        # --- composite integer segment key over body + margin + right ---
+        b_ent = ev_pdf[entity].to_numpy()
+        all_ent = np.concatenate(
+            [b_ent, cy["__re"].to_numpy(), sns["__re"].to_numpy()]
+        )
+        ecode, _ = pd.factorize(pd.Series(all_ent), sort=False)
+        b_chk = ev_pdf[CHUNK].to_numpy(dtype=np.int64)
+        cy_chk = cy["__rc"].to_numpy(dtype=np.int64)
+        sn_chk = sns["__rc"].to_numpy(dtype=np.int64)
+        all_chk = np.concatenate([b_chk, cy_chk, sn_chk])
+        cmin = int(all_chk.min()) if len(all_chk) else 0
+        K = int(all_chk.max()) - cmin + 1 if len(all_chk) else 1
+        all_seg = ecode.astype(np.int64) * K + (all_chk - cmin)
+        b_seg = all_seg[:n_b]
+        cy_seg = all_seg[n_b : n_b + len(cy)]
+        sn_seg = all_seg[n_b + len(cy) :]
+
+        # --- combined (margin + body) arrays, sorted by (seg, ts, tie) ---
+        b_t = _to_us(ev_pdf[ts])
+        b_v = ev_pdf[numeric_col].to_numpy(dtype=np.float64)
+        m_seg = np.repeat(cy_seg, lens) if n_m else np.zeros(0, dtype=np.int64)
+        t_all = np.concatenate([m_t, b_t])
+        x = np.concatenate([m_v, b_v])
+        seg = np.concatenate([m_seg, b_seg])
+        # margin ts is strictly before body ts (previous chunks), so ties
+        # only occur body-vs-body (tiebreak rank) or inside one pre-sorted
+        # tail (stable lexsort keeps tail order)
+        if tiebreak:
+            tbcol = ev_pdf[tiebreak]
+            if tbcol.dtype == object:
+                tcodes, uq = pd.factorize(tbcol, sort=True)
+                tcodes = np.where(tcodes < 0, len(uq), tcodes).astype(np.int64)
+            else:
+                tcodes = tbcol.to_numpy()
+            rank = np.concatenate([np.zeros(n_m, dtype=np.int64), tcodes.astype(np.int64)])
+        else:
+            rank = np.zeros(n_m + n_b, dtype=np.int64)
+        orig = np.concatenate([np.full(n_m, -1, dtype=np.int64), np.arange(n_b)])
+        order = np.lexsort((rank, t_all, seg))
+        t_all, x, seg, orig = t_all[order], x[order], seg[order], orig[order]
+        tok_all = np.concatenate(
+            [np.asarray(m_tok, dtype=object), ev_pdf[token_col].to_numpy(dtype=object)]
+        )[order]
+        codes = np.fromiter(
+            (code.get(tk, -1) for tk in tok_all), dtype=np.int64, count=len(tok_all)
+        )
+        n = len(t_all)
+        idx_arr = np.arange(n)
+        is_m = orig < 0
+
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = seg[1:] != seg[:-1]
+        seg_first = np.where(new_seg, idx_arr, 0)
+        np.maximum.accumulate(seg_first, out=seg_first)
+        ends = np.flatnonzero(np.append(new_seg[1:], True))
+        last_of_seg = np.zeros(n, dtype=np.int64)
+        last_of_seg[seg_first[ends]] = ends
+        seg_last = last_of_seg[seg_first]
+
+        # --- per-segment carried scalars, aligned to segment ordinals ---
+        uniq_seg, uniq_first = np.unique(seg, return_index=True)
+        nseg = len(uniq_seg)
+        row_ord = np.searchsorted(uniq_seg, seg)
+        c_last_sess = np.full(nseg, -1, dtype=np.int64)
+        c_open_run = np.zeros(nseg, dtype=np.int64)
+        c_bf_seed = np.full(nseg, np.nan)
+        c_next_first = np.full(nseg, np.nan)
+        if len(cy):
+            cord = np.searchsorted(uniq_seg, cy_seg)
+            # carries exist only for populated chunks → every cord is a
+            # real body segment
+            c_last_sess[cord] = cy["c_last_sess"].to_numpy(dtype=np.int64)
+            c_open_run[cord] = cy["c_open_run"].to_numpy(dtype=np.int64)
+            c_bf_seed[cord] = cy["c_bf_seed"].to_numpy(dtype=np.float64)
+            c_next_first[cord] = cy["c_next_first"].to_numpy(dtype=np.float64)
+        m_count = np.bincount(row_ord[is_m], minlength=nseg) if n_m else np.zeros(nseg, dtype=np.int64)
+        anchor = np.where(
+            m_count > 0, uniq_first + m_count - 1, uniq_first
+        )
+        base = np.where(m_count > 0, c_last_sess, c_last_sess + 1)
+
+        # --- sessionization with carried anchors ---
+        brk_a = np.empty(n, dtype=np.int64)
+        brk_a[0] = 1
+        brk_a[1:] = ((np.diff(t_all) > gap_us) | new_seg[1:]).astype(np.int64)
+        cum = np.cumsum(brk_a)
+        sess_id = cum - cum[anchor[row_ord]] + base[row_ord]
+        sess_start = np.where(brk_a > 0, idx_arr, 0)
+        np.maximum.accumulate(sess_start, out=sess_start)
+        pos = idx_arr - sess_start
+        cont = (cum == cum[anchor[row_ord]]) & (m_count[row_ord] > 0)
+        corr = c_open_run[row_ord] - (pos[anchor[row_ord]] + 1)
+        pos = np.where(cont & ~is_m, pos + corr, pos)
+
+        # --- lag / lead ---
         lag1 = np.roll(x, 1)
-        lag1[0] = np.nan
+        lag1[idx_arr == seg_first] = np.nan
         lead1 = np.roll(x, -1)
-        lead1[-1] = (
-            float(c0["c_next_first"]) if c0["c_next_first"] is not None else np.nan
-        )
-        out[f"lag1_{numeric_col}"] = lag1[m:]
-        out[f"lead1_{numeric_col}"] = lead1[m:]
-
-        # --- sessionization with carried offsets ---
-        sess = kernels.session_ids(t, gap_us)
-        first_idx = np.zeros(n, dtype=np.int64)
-        starts = np.flatnonzero(np.diff(sess, prepend=sess[0] - 1) > 0)
-        first_idx[starts] = starts
-        np.maximum.accumulate(first_idx, out=first_idx)
-        pos = np.arange(n) - first_idx
-        if m > 0:
-            anchor = sess[m - 1]
-            sess_body = sess[m:] - anchor + int(c0["c_last_sess"])
-            corr = int(c0["c_open_run"]) - (pos[m - 1] + 1)
-            pos_body = pos[m:].copy()
-            cont = sess[m:] == anchor
-            pos_body[cont] += corr
-        else:
-            sess_body = sess + int(c0["c_last_sess"]) + 1
-            pos_body = pos
-        out["session_id"] = sess_body
-        out["session_pos"] = pos_body
+        at_last = idx_arr == seg_last
+        lead1[at_last] = c_next_first[row_ord[at_last]]
 
         # --- backfill with carried seed ---
-        ff = kernels.forward_fill(x)
-        seed = c0["c_bf_seed"]
-        if seed is not None and not np.isnan(seed):
-            ff = np.where(np.isnan(ff), seed, ff)
-        out[f"{numeric_col}_bf"] = ff[m:]
+        ffidx = np.where(~np.isnan(x), idx_arr, -1)
+        np.maximum.accumulate(ffidx, out=ffidx)
+        bf = np.where(ffidx >= seg_first, x[ffidx.clip(0)], np.nan)
+        bf = np.where(np.isnan(bf), c_bf_seed[row_ord], bf)
 
-        # --- rolling mean (NaN-aware) over margin+body ---
-        cs = np.nancumsum(np.nan_to_num(x))
-        cnt = np.cumsum(~np.isnan(x))
-        roll_sum = cs.copy()
-        roll_cnt = cnt.astype(np.float64)
-        if n > width:
-            roll_sum[width:] -= cs[:-width]
-            roll_cnt[width:] -= cnt[:-width]
+        # --- rolling mean + window composition over margin+body ---
+        w_s = np.maximum(idx_arr - width + 1, seg_first)
+        cs = np.concatenate([[0.0], np.nancumsum(np.nan_to_num(x))])
+        ccnt = np.concatenate([[0], np.cumsum(~np.isnan(x))])
+        rsum = cs[idx_arr + 1] - cs[w_s]
+        rcnt = (ccnt[idx_arr + 1] - ccnt[w_s]).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
-            rm = np.where(roll_cnt > 0, roll_sum / roll_cnt, np.nan)
-        out[f"roll_mean_{numeric_col}"] = rm[m:]
+            rmean = np.where(rcnt > 0, rsum / rcnt, np.nan)
+        onehot = np.zeros((n, V), dtype=np.int64)
+        valid = codes >= 0
+        onehot[idx_arr[valid], codes[valid]] = 1
+        ocs = np.concatenate([np.zeros((1, V)), np.cumsum(onehot, axis=0)])
+        wcm = (ocs[idx_arr + 1] - ocs[w_s]) / (idx_arr + 1 - w_s)[:, None]
 
-        # --- trailing window composition ---
-        wc = kernels.rolling_token_counts(codes, V, width)
-        out["wc"] = list(wc[m:])
+        # --- as-of: chunk snapshots + carried pre-chunk snapshot ---
+        body = ~is_m
+        bt = t_all[body]
+        bseg2 = seg[body]
+        nb = int(body.sum())
+        sid_out = pd.array([pd.NA] * nb, dtype="Int64")
+        age_out = np.full(nb, np.nan)
+        s_t_parts, s_i_parts, s_seg_parts = [], [], []
+        if len(sns):
+            s_t_parts.append(sns["s_t"].to_numpy(dtype=np.int64))
+            s_i_parts.append(sns["s_i"].to_numpy(dtype=np.int64))
+            s_seg_parts.append(sn_seg)
+        if len(cy):
+            csn_t = cy["c_snap_ts"].to_numpy(dtype=np.float64)
+            has = ~np.isnan(csn_t)
+            if has.any():
+                s_t_parts.append(csn_t[has].astype(np.int64))
+                s_i_parts.append(
+                    cy["c_snap_id"].to_numpy(dtype=np.float64)[has].astype(np.int64)
+                )
+                s_seg_parts.append(cy_seg[has])
+        if s_t_parts:
+            s_t = np.concatenate(s_t_parts)
+            s_i = np.concatenate(s_i_parts)
+            s_seg = np.concatenate(s_seg_parts)
+            lorder = np.argsort(bt, kind="stable")
+            rorder = np.lexsort((s_i, s_t))
+            merged = pd.merge_asof(
+                pd.DataFrame({"t": bt[lorder], "g": bseg2[lorder], "i": lorder}),
+                pd.DataFrame({"t": s_t[rorder], "g": s_seg[rorder], "sid": s_i[rorder], "st": s_t[rorder]}),
+                on="t", by="g", allow_exact_matches=False, direction="backward",
+            )
+            back = merged["i"].to_numpy()
+            sid_v = merged["sid"].to_numpy(dtype=np.float64)
+            st_v = merged["st"].to_numpy(dtype=np.float64)
+            sid_full = np.full(nb, np.nan)
+            st_full = np.full(nb, np.nan)
+            sid_full[back] = sid_v
+            st_full[back] = st_v
+            ok = ~np.isnan(sid_full)
+            sid_out = pd.array(
+                np.where(ok, sid_full, 0).astype(np.int64), dtype="Int64"
+            )
+            sid_out[~ok] = pd.NA
+            age_out = (bt - st_full) / 1e6
+
+        # --- assemble body rows (original columns via inverse index) ---
+        take = orig[body]
+        src = ev_pdf.iloc[take].reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                entity: src[entity],
+                ts: src[ts],
+                **({tiebreak: src[tiebreak]} if tiebreak else {}),
+                numeric_col: src[numeric_col],
+                token_col: src[token_col],
+            }
+        )
+        out["asof_snapshot_id"] = sid_out
+        out["asof_age_sec"] = age_out
+        out[f"lag1_{numeric_col}"] = lag1[body]
+        out[f"lead1_{numeric_col}"] = lead1[body]
+        out["session_id"] = sess_id[body]
+        out["session_pos"] = pos[body]
+        out[f"{numeric_col}_bf"] = bf[body]
+        out[f"roll_mean_{numeric_col}"] = rmean[body]
+        out["wc"] = list(wcm[body])
         return out
 
-    sn_k = sn_c.select(
-        F.col(entity).alias("__se"),
-        F.col(CHUNK).alias("__sc"),
-        F.col(snap_ts),
-        F.col(snap_id),
-    )
-    return (
-        ev_k.groupBy(entity, CHUNK)
-        .cogroup(sn_k.groupBy("__se", "__sc"))
-        .applyInPandas(kern, out_schema)
-    )
+    return left.groupBy("__b").cogroup(right.groupBy("__b")).applyInPandas(kern, out_schema)
 
 
 def morton_code(x, y, bits: int = 16):

@@ -36,10 +36,15 @@ EMB = ["embedding", "vec_id"]
 
 # (exchanges, bcast, smj, nlj, pushed, pyrow, arrow, scan_fields)
 EXPECTED: dict[str, tuple] = {
-    # flagship pair: bytes/value pruned pre-shuffle, salted path adds the
-    # countmin detector's sampled scan + broadcast of the hot-key list
+    # flagship pair: bytes/value pruned pre-shuffle. The salted path is
+    # the round-6 rework: JVM summaries + JVM carry windows + ONE bucketed
+    # margin-row kernel — 2 Arrow stages total (was 6) and ZERO broadcast
+    # (the former broadcast of the carry table was an at-scale hazard in
+    # all-salted mode); 6 physical exchanges, but only 2 move the events
+    # (summaries window + kernel cogroup), the rest move the tiny
+    # chunk-summary table
     "pit_fused": (4, 0, 0, 0, 1, 0, 2, [EVV, EV]),
-    "pit_salted": (12, 2, 0, 0, 2, 0, 6, [EVV, EVV, EV, EV]),
+    "pit_salted": (12, 0, 0, 0, 2, 0, 2, [EVV, EV, EVV, EV]),
     "image_pit_checksums": (8, 0, 0, 0, 0, 0, 4, []),  # fixture-gen input
     # star-edge dedup: 6 shuffles (band agg, star join, verify, CC rounds)
     "dedup_clusters": (12, 0, 6, 0, 0, 0, 0, [["doc_id"], ["doc_id"]]),

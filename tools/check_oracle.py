@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -83,7 +84,20 @@ def main() -> int:
     from spark_pit.queries import ORACLES, QUERIES
     from spark_pit.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    # The gate collects BOTH engine results to compare them — at the 10M-row
+    # scale tier several per-event queries legitimately return >1 GiB of
+    # serialized result, so the verification harness (and only it) raises
+    # spark.driver.maxResultSize above the 1g default. Production jobs never
+    # collect bulk results (they write sinks); this knob is gate-only.
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.driver.maxResultSize": os.environ.get(
+                "SPARK_PIT_MAX_RESULT", "8g"
+            )
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
