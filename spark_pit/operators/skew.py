@@ -13,20 +13,30 @@ entity's timeline fans out over many tasks, while keeping the output
 1. **Chunk summaries** — one tiny row per (entity, chunk): row count,
    first/last ts, the trailing ``width-1`` (ts, value, token) rows, last
    non-null value, internal session-break count, trailing-run length,
-   first value. A per-(entity, chunk) aggregation — hash-partitioned on the
-   salted key, so no skew.
-2. **Carry scan** — per entity, a sequential scan over its chunk summaries
-   (thousands of summary rows even for a 10^9-row entity) producing the
-   exact pre-chunk state each chunk needs: session-id offset, open-run
-   length, accumulated margin tail (exact across sparse chunks — the tail
-   is re-accumulated, not just "previous chunk's rows"), backfill seed,
-   latest strictly-before snapshot, and the next populated chunk's first
-   value (reverse pass, for lead-1). Snapshot chunk summaries are cogrouped
-   into the same scan.
-3. **Salted kernel** — per (entity, chunk) task: concatenate
-   ``margin tail + body`` arrays, run the *same* vectorized kernels as the
-   unsalted cursor (spark_pit.kernels), fix up session id/pos with the
-   carried offsets, and emit body rows only.
+   first value. Pure JVM: one window pass partitioned on the salted key +
+   a groupBy that reuses its partitioning — hash-partitioned, so no skew,
+   and no per-group Python (the original applyInPandas version paid one
+   pandas call per (entity, chunk); at the 10M-row tier that is ~9M
+   near-singleton Arrow batches — hours of dispatch overhead, found by
+   the round-6 full-registry gate).
+2. **Carry scan** — the exact pre-chunk state each chunk needs:
+   session-id offset, open-run length, accumulated margin tail (exact
+   across sparse chunks — the tail is re-accumulated, not just "previous
+   chunk's rows"), backfill seed, latest strictly-before snapshot, and
+   the next populated chunk's first value (for lead-1). Pure JVM window
+   algebra over the tiny summary table: prefix sums, a
+   max-of-reset-struct + prefix-count difference for the open-run
+   recurrence, last(ignorenulls) cursors over a union frame ordered
+   (chunk, tag) for the strictly-before snapshot, and a bounded
+   ``rows between -k and -1`` flatten+slice for the carried tails.
+3. **Salted kernel** — ONE bucketed cogroup on
+   ``pmod(xxhash64(entity, chunk), B)``: carries and chunk snapshots ride
+   the right side (no broadcast of the carry table — in all-salted
+   equivalence mode it is O(populated chunks), far past broadcast size),
+   carried tails are materialized as margin rows, and every feature runs
+   segment-vectorized over (entity, chunk) segments exactly like
+   pit_features_bucketed — per-batch Python cost is paid B times total,
+   independent of how many (entity, chunk) groups exist.
 
 Equivalence proof sketch per feature (tests assert it empirically):
 - lag1 / rolling(width) / window-composition(width): any trailing

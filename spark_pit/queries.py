@@ -1505,7 +1505,7 @@ def q_streaming_asof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    stream_q.awaitTermination(300)
+    _await_stream(stream_q)
     stream = spark.table(name).select(
         "event_id", F.col("asof_snapshot_id").alias("sid_s"), F.lit(1).alias("__s")
     )
@@ -1548,6 +1548,30 @@ SELECT CAST(0 AS BIGINT) AS n_only_stream,
 """
 
 
+def _await_stream(stream_q, default_timeout: int = 300) -> None:
+    """Wait for an availableNow streaming query and FAIL LOUDLY on timeout.
+
+    The parity twins compare the stream's memory table against the batch
+    operator; if awaitTermination times out the memory table is partial
+    (or empty) and the comparison would report a bogus value mismatch —
+    exactly what happened at the 10M-row scale tier, where the fixed
+    300 s budget was not enough under load (the gate recorded
+    n_only_batch = 10,000,000, i.e. "stream produced nothing", for a
+    query that passes at every smaller sf). A timeout is a harness
+    artifact, not an operator result, so it must surface as an ERROR,
+    never as a plausible-looking diff count. SPARK_PIT_STREAM_TIMEOUT
+    raises the budget for scale-tier runs."""
+    import os
+
+    timeout = int(os.environ.get("SPARK_PIT_STREAM_TIMEOUT", str(default_timeout)))
+    if not stream_q.awaitTermination(timeout):
+        stream_q.stop()
+        raise RuntimeError(
+            f"streaming query did not finish within {timeout}s; raise "
+            "SPARK_PIT_STREAM_TIMEOUT for scale-tier runs"
+        )
+
+
 def q_streaming_decay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third streaming DRIVER-GATE row (round 4 cont.): the stateful
     streaming decay operator (O(max_lag) bucket-aggregate state per
@@ -1585,7 +1609,7 @@ def q_streaming_decay_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    stream_q.awaitTermination(300)
+    _await_stream(stream_q)
     stream = spark.table(name).select(
         "event_id",
         F.col("decayed_count").alias("dc_s"),
@@ -1670,7 +1694,7 @@ def q_streaming_target_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    stream_q.awaitTermination(300)
+    _await_stream(stream_q)
     stream = spark.table(name).select(
         "event_id",
         F.col("te_count").alias("cnt_s"),
@@ -1756,7 +1780,7 @@ def q_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    stream_q.awaitTermination(300)
+    _await_stream(stream_q)
     stream = spark.table(name).select(
         "user_id",
         F.col("session_start").alias("ss"),
@@ -2728,7 +2752,7 @@ def q_streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    stream_q.awaitTermination(300)
+    _await_stream(stream_q)
     stream = (
         spark.table(name)
         .groupBy("user_id")
@@ -2817,7 +2841,7 @@ def q_streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    stream_q.awaitTermination(300)
+    _await_stream(stream_q)
     stream = spark.table(name).select(
         "user_id",
         F.col("event_type").alias("et_s"),
