@@ -20,6 +20,12 @@ slice) at any cardinality:
   count, mean predicted score (int64 micro-units) and empirical positive
   rate (micro-units), with the bin edge convention floor(score·B) clamped
   to B−1 so score=1.0 lands in the last bin.
+- ``brier_ece_by_group`` — exact Brier score + expected calibration
+  error per group over the defined micro-unit quantization of the score.
+  The per-bin count CANCELS in ECE (Σ_b (n_b/N)·|Σs−10⁶Σy|/n_b =
+  Σ_b|Σs−10⁶Σy| / N), so both metrics are pure integer sums until one
+  final rounded divide each — bit-identical across engines. One data
+  shuffle on (group, bin); the bin→group reduction is over B rows/group.
 """
 
 from __future__ import annotations
@@ -177,4 +183,71 @@ def calibration_bins(
             F.floor(F.sum("__y") * 1_000_000 / F.count(F.lit(1)) + F.lit(0.5))
             .cast("long").alias("pos_rate_micro"),
         )
+    )
+
+
+def brier_ece_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Exact per-group Brier score + expected calibration error.
+
+    Contract: both metrics are defined over the micro-quantized score
+    s_us = floor(score·10⁶ + 0.5) — the same defined quantization the
+    rest of the eval plane uses (|score − s_us/10⁶| ≤ 5e-7, so the
+    quantization error on Brier is < 1e-6 absolute).
+
+        brier = Σ (s_us − 10⁶·y)² / (N·10¹²)
+        ece   = Σ_b (n_b/N) · |mean_b(s_us) − 10⁶·mean_b(y)| / 10⁶
+              = Σ_b |A_b − 10⁶·P_b| / (N·10⁶)        (the n_b cancel)
+
+    with A_b = Σ_bin s_us, P_b = Σ_bin y, bins = min(floor(score·B), B−1)
+    per group (the calibration_bins edge convention). Every sum is a
+    decimal-128 integer; the ONLY float-free rounding is the final
+    round-half-up integral div into int64 micro-units — bit-identical
+    across engines at any cardinality (per-row (s_us−10⁶y)² ≤ 10¹²
+    would overflow an int64 sum near 9.2M rows/group; decimal-128
+    doesn't).
+
+    Plan: one shuffle on (group, bin) with map-side partial aggregation;
+    the second exchange reduces ≤B rows per group. Returns
+    (group, n, brier_micro, ece_micro)."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    s_us = F.floor(F.col(score_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    y = F.col(label_col).cast("long")
+    per_bin = (
+        df.select(F.col(group_col), b.alias("__b"), s_us.alias("__s"), y.alias("__y"))
+        .groupBy(group_col, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__s").cast("decimal(38,0)")).alias("__a"),
+            F.sum("__y").alias("__p"),
+            F.sum(
+                ((F.col("__s") - F.col("__y") * 1_000_000)
+                 * (F.col("__s") - F.col("__y") * 1_000_000))
+                .cast("decimal(38,0)")
+            ).alias("__q"),
+        )
+    )
+    agg = per_bin.groupBy(group_col).agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__q").alias("__sq"),
+        F.sum(F.abs(F.col("__a") - F.col("__p").cast("decimal(38,0)") * 1_000_000))
+        .alias("__dev"),
+    )
+    return agg.select(
+        group_col, "n",
+        F.expr(
+            "CAST((2 * CAST(__sq AS DECIMAL(38,0)) + CAST(n AS DECIMAL(38,0)) * 1000000)"
+            " div (2 * CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("brier_micro"),
+        F.expr(
+            "CAST((2 * CAST(__dev AS DECIMAL(38,0)) + CAST(n AS DECIMAL(38,0)))"
+            " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ece_micro"),
     )

@@ -3031,6 +3031,61 @@ GROUP BY event_type, bin
 """
 
 
+def q_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group Brier score + expected calibration error (round
+    6): both over the defined micro-unit score quantization, every sum a
+    decimal-128 integer, one rounded integral div each at the end — the
+    per-bin count cancels in ECE so it needs no per-bin division at all.
+    Same deterministic scored derivation as the rest of the eval plane
+    (mod-997 tie classes, mod-3 labels)."""
+    from spark_pit.operators.evalmetrics import brier_ece_by_group
+
+    scored = _ev(spark, sf_dir).select(
+        "event_type",
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return brier_ece_by_group(scored, "event_type", "score", "label", n_bins=10)
+
+
+Q_BRIER_ECE_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         (event_id % 997) / 997.0 AS score,
+         CAST(event_id % 3 = 0 AS BIGINT) AS y
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         CAST(least(floor(score * 10), 9) AS INTEGER) AS b,
+         CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS s,
+         y
+  FROM scored
+),
+per_bin AS (
+  SELECT event_type, b,
+         count(*) AS n,
+         sum(CAST(s AS HUGEINT)) AS a,
+         sum(y) AS p,
+         sum(CAST((s - 1000000 * y) * (s - 1000000 * y) AS HUGEINT)) AS qq
+  FROM q GROUP BY event_type, b
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS n,
+         sum(qq) AS sq,
+         sum(abs(a - CAST(p AS HUGEINT) * 1000000)) AS dev
+  FROM per_bin GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST((2 * sq + CAST(n AS HUGEINT) * 1000000)
+            // (2 * CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS brier_micro,
+       CAST((2 * dev + CAST(n AS HUGEINT))
+            // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS ece_micro
+FROM agg
+"""
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (round 5; round 6:
     bucket count AUTOSIZED as B = max(64, ceil(N/16)) from a
@@ -5985,6 +6040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auc_by_group": q_auc_by_group,
     "pr_auc_by_group": q_pr_auc_by_group,
     "calibration_bins": q_calibration_bins,
+    "brier_ece": q_brier_ece,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -6169,6 +6225,7 @@ ORACLES: dict[str, str] = {
     "auc_by_group": Q_AUC_BY_GROUP_SQL,
     "pr_auc_by_group": Q_PR_AUC_BY_GROUP_SQL,
     "calibration_bins": Q_CALIBRATION_BINS_SQL,
+    "brier_ece": Q_BRIER_ECE_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -6413,6 +6470,8 @@ GATE_ORDER: list[str] = [
     "time_rollup",
     "token_composition",
     "token_stats",
+    # round-6 late addition (post-window-freeze; lead the r7 window)
+    "brier_ece",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

@@ -132,3 +132,57 @@ def test_pr_auc_perfect_and_worst_sanity(spark):
     assert got["p"] == 1_000_000
     want_w = sum((i / (90 + i)) for i in range(1, 11)) / 10
     assert abs(got["w"] - want_w * 1e6) <= 1.0
+
+
+def _ref_brier_ece(scores, labels, n_bins=10):
+    """Brier + ECE straight from the operator's integer contract:
+    micro-quantized scores, per-bin |sum(s) - 1e6*sum(y)| summed / N."""
+    scores, labels = np.asarray(scores, float), np.asarray(labels, int)
+    s_us = np.floor(scores * 1_000_000 + 0.5).astype(np.int64)
+    n = len(scores)
+    sq = int(np.sum((s_us - 1_000_000 * labels.astype(np.int64)) ** 2))
+    brier_micro = (2 * sq + n * 1_000_000) // (2 * n * 1_000_000)
+    bins = np.minimum(np.floor(scores * n_bins).astype(int), n_bins - 1)
+    dev = 0
+    for b in np.unique(bins):
+        m = bins == b
+        dev += abs(int(s_us[m].sum()) - 1_000_000 * int(labels[m].sum()))
+    ece_micro = (2 * dev + n) // (2 * n)
+    return brier_micro, ece_micro
+
+
+def test_brier_ece_matches_reference(spark):
+    from spark_pit.operators.evalmetrics import brier_ece_by_group
+
+    rows, data = [], {}
+    rng = np.random.default_rng(13)
+    for g in ["g1", "g2"]:
+        scores = np.round(rng.uniform(0, 1, 90), 2)
+        labels = (rng.uniform(0, 1, 90) < scores * 0.8).astype(int)
+        data[g] = (scores, labels)
+        rows += [(g, float(s), int(y)) for s, y in zip(scores, labels)]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {
+        r["g"]: (r["n"], r["brier_micro"], r["ece_micro"])
+        for r in brier_ece_by_group(df, "g", "score", "label").collect()
+    }
+    for g in ["g1", "g2"]:
+        want = _ref_brier_ece(*data[g])
+        assert got[g] == (90, want[0], want[1]), g
+        # sanity vs the float definitions (quantization < 2 micro-units)
+        s, y = data[g]
+        assert abs(got[g][1] / 1e6 - np.mean((s - y) ** 2)) < 2e-6
+
+
+def test_brier_ece_perfect_and_worst(spark):
+    from spark_pit.operators.evalmetrics import brier_ece_by_group
+
+    # perfectly calibrated hard classifier: score == label -> 0 / 0;
+    # maximally wrong: score == 1 - label -> brier = ece = 1.
+    rows = [("good", float(y), y) for y in (0, 1) for _ in range(5)]
+    rows += [("bad", float(1 - y), y) for y in (0, 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {r["g"]: r for r in brier_ece_by_group(df, "g", "score", "label").collect()}
+    assert got["good"]["brier_micro"] == 0 and got["good"]["ece_micro"] == 0
+    assert got["bad"]["brier_micro"] == 1_000_000
+    assert got["bad"]["ece_micro"] == 1_000_000
