@@ -1,0 +1,132 @@
+"""Dataset-drift monitoring and split hygiene for a continuously
+refreshed training corpus.
+
+A 100 TB pipeline re-ingests shards daily; before a shard joins the
+training mix it is compared against the blessed reference distribution,
+and entities are assigned to folds so no entity ever leaks across a
+train/validation boundary:
+
+- ``tv_drift_by_group`` — exact total-variation distance between the
+  reference-period and current-period categorical distributions, per
+  monitored slice: TV = ½ Σ_v |p_ref(v) − p_cur(v)|. Over the common
+  denominator, TV = Σ_v |c_ref(v)·N_cur − c_cur(v)·N_ref| /
+  (2·N_ref·N_cur) — every term a decimal-128 integer until the final
+  single rounded divide. TV is the metric of choice here over
+  PSI/KL because it is exactly computable (no logs) and bounded [0, 1].
+- ``group_kfold_stats`` — deterministic entity-level k-fold assignment
+  via the repo's portable md5-fold (fold = fold16(md5(entity‖salt)) %
+  k, reproducible across engines and runs), with per-fold row/entity/
+  positive counts so balance is auditable. Because the fold is a pure
+  function of the entity key, no entity ever appears in two folds —
+  the group-k-fold property that prevents within-entity leakage.
+
+Both are single-shuffle plans with map-side partial aggregation; no
+UDFs, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tv_drift_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Exact per-group total-variation drift between two periods.
+
+    ``period_col`` must be 0 (reference) / 1 (current) — in production a
+    time-window flag like ``(ts >= snapshot_ts).cast("int")``. The plan
+    aggregates once on (group, value) with map-side combine (the full
+    table collapses to the distinct category values before the wide
+    stage), attaches the per-group totals with an unbounded window on
+    the SAME partitioning (no second exchange), and reduces. A group
+    missing either period yields null.
+
+    Returns (group, n_ref, n_cur, tv_micro) with
+    tv_micro = round_half_up(10⁶ · Σ|c_ref·N_cur − c_cur·N_ref| /
+    (2·N_ref·N_cur))."""
+    p = F.col(period_col).cast("long")
+    per_val = (
+        df.select(F.col(group_col), F.col(value_col), p.alias("__p"))
+        .groupBy(group_col, value_col)
+        .agg(
+            F.sum(F.lit(1) - F.col("__p")).alias("__cr"),
+            F.sum("__p").alias("__cc"),
+        )
+    )
+    w_all = Window.partitionBy(group_col)
+    tot = per_val.withColumn("__nr", F.sum("__cr").over(w_all)).withColumn(
+        "__nc", F.sum("__cc").over(w_all)
+    )
+    dev = F.abs(
+        F.col("__cr").cast("decimal(38,0)") * F.col("__nc")
+        - F.col("__cc").cast("decimal(38,0)") * F.col("__nr")
+    )
+    agg = tot.groupBy(group_col).agg(
+        F.max("__nr").cast("long").alias("n_ref"),
+        F.max("__nc").cast("long").alias("n_cur"),
+        F.sum(dev).alias("__d"),
+    )
+    return agg.select(
+        group_col, "n_ref", "n_cur",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.expr(
+                "CAST((CAST(__d AS DECIMAL(38,0)) * 1000000"
+                " + CAST(n_ref AS DECIMAL(38,0)) * n_cur)"
+                " div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur) AS BIGINT)"
+            ),
+        ).alias("tv_micro"),
+    )
+
+
+def assign_group_fold(
+    df: DataFrame,
+    entity_col: str,
+    k: int,
+    salt: str = "gkf",
+    out: str = "fold",
+) -> DataFrame:
+    """Attach the deterministic entity-level fold column: fold =
+    fold16(md5(entity‖salt)) % k (first 15 hex digits of md5 parsed as
+    an integer — always non-negative, < 2⁶⁰, portable across engines).
+    Zero-shuffle projection; the fold is a pure function of the entity
+    key, so every row of an entity lands in the same fold by
+    construction."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(entity_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(out, (h % k).cast("int"))
+
+
+def group_kfold_stats(
+    df: DataFrame,
+    entity_col: str,
+    label_col: str,
+    k: int,
+    salt: str = "gkf",
+) -> DataFrame:
+    """Per-fold balance audit of the deterministic group-k-fold split:
+    (fold, n_rows, n_entities, n_pos). One shuffle (the groupBy on the
+    k-row fold key; the distinct-entity count is a two-level partial
+    aggregate Spark plans without an extra pass over the input).
+
+    At 100 TB the output is k rows — the audit query a training job
+    runs before trusting a split."""
+    with_fold = assign_group_fold(df, entity_col, k, salt=salt)
+    return (
+        with_fold.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(entity_col).cast("long").alias("n_entities"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+        )
+    )

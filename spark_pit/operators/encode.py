@@ -155,6 +155,48 @@ def robust_quantiles(
     return agg.select(*sel)
 
 
+def quantile_bin_stats(
+    df: DataFrame,
+    entity: str,
+    col: str,
+    tiebreak: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-entity equal-frequency feature discretization (the quantile
+    binning a gradient-boosting / feature-store pipeline applies before
+    training) with the per-bin cut statistics needed to replay the same
+    binning at serving time.
+
+    Bins are NTILE(B) over (value asc, tiebreak asc) — the unique
+    tiebreak makes the ranking total, and NTILE's remainder rule (the
+    first N % B buckets get the extra row) is the same in Spark and
+    ANSI SQL, so the assignment is engine-portable. Per (entity, bin):
+    count and the min/max value in int64 nano-units (exact elements, no
+    interpolation — the bin EDGES a server replays are these maxima).
+
+    Plan: ONE exchange on the entity key; the NTILE window and the
+    (entity, bin) agg share it (the agg key is a superset of the window
+    partition key, so Catalyst reuses the sort/exchange).
+
+    Returns (entity, bin, n, lo_nano, hi_nano)."""
+    nano = F.floor(F.col(col) * 1e9 + F.lit(0.5)).cast("long")
+    base = df.where(F.col(col).isNotNull()).select(
+        F.col(entity), F.col(tiebreak).alias("__t"), nano.alias("__v")
+    )
+    w = Window.partitionBy(entity).orderBy(
+        F.col("__v").asc(), F.col("__t").asc()
+    )
+    return (
+        base.withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy(entity, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__v").alias("lo_nano"),
+            F.max("__v").alias("hi_nano"),
+        )
+    )
+
+
 def winsorize_stats(
     df: DataFrame, entity: str, col: str, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

@@ -26,9 +26,23 @@ slice) at any cardinality:
   Σ_b|Σs−10⁶Σy| / N), so both metrics are pure integer sums until one
   final rounded divide each — bit-identical across engines. One data
   shuffle on (group, bin); the bin→group reduction is over B rows/group.
+- ``ks_by_group`` — exact two-sample Kolmogorov–Smirnov statistic
+  between the positive and negative score distributions:
+  KS = max_t |F_pos(t) − F_neg(t)| = max_t |cp_t·n_neg − cn_t·n_pos| /
+  (n_pos·n_neg), evaluated only at the distinct scores (where the step
+  CDFs change). Integer until the final single divide.
+- ``ndcg_by_group`` — exact NDCG@k per query group under a DEFINED
+  integer position-weight table w_i = round(10⁹/log2(i+1)) computed
+  once on the driver and shared verbatim with the SQL oracle, so no
+  engine ever evaluates a transcendental on data.
+- ``lift_by_decile`` — the gain/lift chart: score-descending NTILE
+  deciles with per-decile positive counts, cumulative capture rate and
+  lift vs the group base rate, all int64 micro-units.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -155,6 +169,216 @@ def pr_auc_by_group(
                 " div (2 * CAST(n_pos AS DECIMAL(38,0)) * 1000)"
             ),
         ).cast("long").alias("pr_auc_micro"),
+    )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact per-group two-sample KS statistic (pos vs neg scores).
+
+    KS = max over thresholds t of |F_pos(t) − F_neg(t)| where F is the
+    empirical CDF (inclusive). The max is attained at a distinct score,
+    so the plan first collapses the table to per-(group, score) tie
+    blocks with map-side partial aggregation (the same reduction
+    pr_auc_by_group uses), then one cumulative window over the distinct
+    thresholds. Per threshold the deviation cp·n_neg − cn·n_pos is a
+    decimal-128 integer (cp·n_neg can exceed int64 beyond ~3B rows/
+    group); the ONLY float-free rounding is the final round-half-up
+    integral div into int64 micro-units — bit-identical across engines.
+    Groups lacking a class yield null.
+
+    Plan: ONE data shuffle on (group, score); the threshold window and
+    totals window share the group partitioning (no second exchange).
+
+    Returns (group, n_pos, n_neg, ks_micro)."""
+    thr = (
+        df.select(
+            F.col(group_col),
+            F.col(score_col),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy(group_col, score_col)
+        .agg(
+            F.sum("__y").alias("__dp"),
+            (F.count(F.lit(1)) - F.sum("__y")).alias("__dn"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    w_all = Window.partitionBy(group_col)
+    cum = (
+        thr.withColumn("__cp", F.sum("__dp").over(w))
+        .withColumn("__cn", F.sum("__dn").over(w))
+        .withColumn("__np", F.sum("__dp").over(w_all))
+        .withColumn("__nn", F.sum("__dn").over(w_all))
+    )
+    dev = F.abs(
+        F.col("__cp").cast("decimal(38,0)") * F.col("__nn")
+        - F.col("__cn").cast("decimal(38,0)") * F.col("__np")
+    )
+    agg = cum.groupBy(group_col).agg(
+        F.max("__np").cast("long").alias("n_pos"),
+        F.max("__nn").cast("long").alias("n_neg"),
+        F.max(dev).alias("__d"),
+    )
+    return agg.select(
+        group_col, "n_pos", "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "CAST((2 * CAST(__d AS DECIMAL(38,0)) * 1000000"
+                " + CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            ),
+        ).alias("ks_micro"),
+    )
+
+
+def ndcg_weights_nano(k: int) -> list[int]:
+    """The DEFINED integer DCG position-weight table: w_i =
+    round_half_up(10⁹ / log2(i+1)) for rank i = 1..k. Computed once on
+    the driver with Python floats and embedded as a literal in BOTH the
+    Spark plan and the SQL oracle, so neither engine evaluates log2 on
+    data — the metric is exact over this table by definition."""
+    return [int(math.floor(1e9 / math.log2(i + 1) + 0.5)) for i in range(1, k + 1)]
+
+
+def ndcg_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    item_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-group NDCG@k with integer relevances.
+
+    DCG@k ranks items by (score desc, item asc) — the item tiebreak
+    makes the ranking total and engine-portable — and sums
+    rel_i · w_i over the top k with the defined integer nano-weight
+    table (``ndcg_weights_nano``). IDCG@k sums the same weights over
+    the k largest relevances (rel desc, item asc; the tiebreak cannot
+    change IDCG since tied relevances contribute symmetrically).
+    ndcg_micro = round_half_up(dcg_nano·10⁶ / idcg_nano) — every term
+    an int64 (rel·w ≤ rel_max·10⁹; k terms), one final integral div.
+    Groups with zero total relevance in the ideal top-k yield null.
+
+    Plan: one exchange on the group key; the two row_number windows
+    (scored order, ideal order) share it — two sorts, no second
+    shuffle. Top-k filters cut the frame to ≤2k rows/group before the
+    final agg.
+
+    Returns (group, n_items, dcg_nano, idcg_nano, ndcg_micro)."""
+    weights = ndcg_weights_nano(k)
+    warr = F.array(*[F.lit(w) for w in weights])
+    base = df.select(
+        F.col(group_col),
+        F.col(score_col),
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.col(item_col).alias("__item"),
+    )
+    w_score = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col("__item").asc()
+    )
+    w_ideal = Window.partitionBy(group_col).orderBy(
+        F.col("__rel").desc(), F.col("__item").asc()
+    )
+    ranked = base.withColumn("__r1", F.row_number().over(w_score)).withColumn(
+        "__r2", F.row_number().over(w_ideal)
+    )
+    dcg = F.when(
+        F.col("__r1") <= k, F.col("__rel") * F.element_at(warr, F.col("__r1"))
+    ).otherwise(F.lit(0))
+    idcg = F.when(
+        F.col("__r2") <= k, F.col("__rel") * F.element_at(warr, F.col("__r2"))
+    ).otherwise(F.lit(0))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(dcg).cast("long").alias("dcg_nano"),
+        F.sum(idcg).cast("long").alias("idcg_nano"),
+    )
+    return agg.select(
+        group_col, "n_items", "dcg_nano", "idcg_nano",
+        F.when(
+            F.col("idcg_nano") > 0,
+            F.expr(
+                "CAST((2 * CAST(dcg_nano AS DECIMAL(38,0)) * 1000000"
+                " + CAST(idcg_nano AS DECIMAL(38,0)))"
+                " div (2 * CAST(idcg_nano AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        ).alias("ndcg_micro"),
+    )
+
+
+def lift_by_decile(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Per-group gain/lift chart over score-descending NTILE deciles.
+
+    Rows are ranked by (score desc, tiebreak asc) — the unique tiebreak
+    makes NTILE engine-portable (both Spark and ANSI SQL distribute the
+    N % tiles remainder to the FIRST buckets). Per decile: n, n_pos,
+    cumulative positives captured, and
+
+        capture_micro = round(cum_pos·10⁶ / P)
+        lift_micro    = round(n_pos·N·10⁶ / (n·P))
+
+    with P/N the group totals — integer (decimal-128 products) until
+    the one integral div each. Groups with P = 0 yield null metrics.
+
+    Plan: one exchange on the group key; the NTILE window, the decile
+    agg and the cumulative/total windows all share it.
+
+    Returns (group, decile, n, n_pos, capture_micro, lift_micro)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    per = (
+        df.select(
+            F.col(group_col),
+            F.col(score_col),
+            F.col(tiebreak_col),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .withColumn("decile", F.ntile(n_tiles).over(w))
+        .groupBy(group_col, "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+    )
+    w_cum = Window.partitionBy(group_col).orderBy(F.col("decile").asc())
+    w_all = Window.partitionBy(group_col)
+    cum = (
+        per.withColumn("__cum", F.sum("n_pos").over(w_cum))
+        .withColumn("__P", F.sum("n_pos").over(w_all))
+        .withColumn("__N", F.sum("n").over(w_all))
+    )
+    return cum.select(
+        group_col, "decile", "n", "n_pos",
+        F.when(
+            F.col("__P") > 0,
+            F.expr(
+                "CAST((2 * CAST(__cum AS DECIMAL(38,0)) * 1000000 + __P)"
+                " div (2 * CAST(__P AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        ).alias("capture_micro"),
+        F.when(
+            F.col("__P") > 0,
+            F.expr(
+                "CAST((2 * CAST(n_pos AS DECIMAL(38,0)) * __N * 1000000"
+                " + CAST(n AS DECIMAL(38,0)) * __P)"
+                " div (2 * CAST(n AS DECIMAL(38,0)) * __P) AS BIGINT)"
+            ),
+        ).alias("lift_micro"),
     )
 
 

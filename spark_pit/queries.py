@@ -3086,6 +3086,278 @@ FROM agg
 """
 
 
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group two-sample KS statistic (round 6): max CDF gap
+    between positive and negative score distributions, evaluated on the
+    distinct-score tie blocks — integer (decimal-128) until the final
+    rounded divide. Same deterministic scored derivation as the rest of
+    the eval plane."""
+    from spark_pit.operators.evalmetrics import ks_by_group
+
+    scored = _ev(spark, sf_dir).select(
+        "event_type",
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return ks_by_group(scored, "event_type", "score", "label")
+
+
+Q_KS_STATISTIC_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         (event_id % 997) / 997.0 AS score,
+         CAST(event_id % 3 = 0 AS BIGINT) AS y
+  FROM events
+),
+thr AS (
+  SELECT event_type, score,
+         sum(y) AS dp, count(*) - sum(y) AS dn
+  FROM scored GROUP BY event_type, score
+),
+cum AS (
+  SELECT event_type,
+         sum(dp) OVER (PARTITION BY event_type ORDER BY score) AS cp,
+         sum(dn) OVER (PARTITION BY event_type ORDER BY score) AS cn,
+         sum(dp) OVER (PARTITION BY event_type) AS np,
+         sum(dn) OVER (PARTITION BY event_type) AS nn
+  FROM thr
+),
+agg AS (
+  SELECT event_type,
+         CAST(max(np) AS BIGINT) AS n_pos,
+         CAST(max(nn) AS BIGINT) AS n_neg,
+         max(abs(CAST(cp AS HUGEINT) * nn - CAST(cn AS HUGEINT) * np)) AS d
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         CAST((2 * CAST(d AS HUGEINT) * 1000000 + CAST(n_pos AS HUGEINT) * n_neg)
+              // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+       END AS ks_micro
+FROM agg
+"""
+
+
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-query NDCG@10 (round 6): integer relevances, ranking
+    made total by the (score desc, item asc) tiebreak, and the DEFINED
+    driver-computed nano-weight table shared verbatim with the oracle —
+    no engine evaluates log2 on data."""
+    from spark_pit.operators.evalmetrics import ndcg_by_group
+
+    base = _ev(spark, sf_dir).select(
+        (F.col("user_id") % 1000).alias("query_id"),
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 4).alias("rel"),
+        F.col("event_id").alias("item"),
+    )
+    return ndcg_by_group(base, "query_id", "score", "rel", "item", k=10)
+
+
+def _ndcg_case(col: str, weights: list[int]) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(weights)
+    )
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+from spark_pit.operators.evalmetrics import ndcg_weights_nano as _ndcg_w  # noqa: E402
+
+Q_NDCG_AT_K_SQL = f"""
+WITH base AS (
+  SELECT user_id % 1000 AS query_id,
+         (event_id % 997) / 997.0 AS score,
+         CAST(event_id % 4 AS BIGINT) AS rel,
+         event_id AS item
+  FROM events
+),
+ranked AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item ASC) AS r1,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, item ASC) AS r2
+  FROM base
+),
+agg AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(rel * ({_ndcg_case("r1", _ndcg_w(10))})) AS BIGINT)
+           AS dcg_nano,
+         CAST(sum(rel * ({_ndcg_case("r2", _ndcg_w(10))})) AS BIGINT)
+           AS idcg_nano
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id, n_items, dcg_nano, idcg_nano,
+       CASE WHEN idcg_nano > 0 THEN
+         CAST((2 * CAST(dcg_nano AS HUGEINT) * 1000000 + idcg_nano)
+              // (2 * CAST(idcg_nano AS HUGEINT)) AS BIGINT)
+       END AS ndcg_micro
+FROM agg
+"""
+
+
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group gain/lift chart (round 6): score-descending NTILE
+    deciles (unique event_id tiebreak makes the assignment engine-
+    portable), cumulative capture rate and lift vs the group base rate
+    in int64 micro-units."""
+    from spark_pit.operators.evalmetrics import lift_by_decile
+
+    scored = _ev(spark, sf_dir).select(
+        "event_type",
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+        "event_id",
+    )
+    return lift_by_decile(
+        scored, "event_type", "score", "label", "event_id", n_tiles=10
+    )
+
+
+Q_LIFT_DECILES_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         (event_id % 997) / 997.0 AS score,
+         CAST(event_id % 3 = 0 AS BIGINT) AS y,
+         event_id
+  FROM events
+),
+t AS (
+  SELECT event_type, y,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY score DESC, event_id ASC) AS decile
+  FROM scored
+),
+per AS (
+  SELECT event_type, decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM t GROUP BY event_type, decile
+),
+c AS (
+  SELECT *,
+         sum(n_pos) OVER (PARTITION BY event_type ORDER BY decile) AS cum,
+         sum(n_pos) OVER (PARTITION BY event_type) AS p,
+         sum(n) OVER (PARTITION BY event_type) AS nt
+  FROM per
+)
+SELECT event_type, decile, n, n_pos,
+       CASE WHEN p > 0 THEN
+         CAST((2 * CAST(cum AS HUGEINT) * 1000000 + p)
+              // (2 * CAST(p AS HUGEINT)) AS BIGINT)
+       END AS capture_micro,
+       CASE WHEN p > 0 THEN
+         CAST((2 * CAST(n_pos AS HUGEINT) * nt * 1000000 + CAST(n AS HUGEINT) * p)
+              // (2 * CAST(n AS HUGEINT) * p) AS BIGINT)
+       END AS lift_micro
+FROM c
+"""
+
+
+def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact total-variation drift between two periods per shard (round
+    6): the dataset-drift gate a refresh pipeline runs before admitting
+    a new shard — TV over the common denominator, decimal-128 integer
+    until the final rounded divide. The period flag here is a
+    deterministic event_id derivation; production passes a time-window
+    flag."""
+    from spark_pit.operators.drift import tv_drift_by_group
+
+    base = _ev(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("shard"),
+        F.col("event_type"),
+        (F.col("event_id") % 7 < 3).cast("int").alias("period"),
+    )
+    return tv_drift_by_group(base, "shard", "event_type", "period")
+
+
+Q_TV_DRIFT_SQL = """
+WITH base AS (
+  SELECT user_id % 10 AS shard, event_type AS v,
+         CAST(event_id % 7 < 3 AS BIGINT) AS p
+  FROM events
+),
+per AS (
+  SELECT shard, v, sum(1 - p) AS cr, sum(p) AS cc
+  FROM base GROUP BY shard, v
+),
+tot AS (
+  SELECT *,
+         sum(cr) OVER (PARTITION BY shard) AS nr,
+         sum(cc) OVER (PARTITION BY shard) AS nc
+  FROM per
+),
+agg AS (
+  SELECT shard,
+         CAST(max(nr) AS BIGINT) AS n_ref,
+         CAST(max(nc) AS BIGINT) AS n_cur,
+         sum(abs(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr)) AS d
+  FROM tot GROUP BY shard
+)
+SELECT shard, n_ref, n_cur,
+       CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         CAST((CAST(d AS HUGEINT) * 1000000 + CAST(n_ref AS HUGEINT) * n_cur)
+              // (2 * CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT)
+       END AS tv_micro
+FROM agg
+"""
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic entity-level k-fold split audit (round 6): fold =
+    md5-fold(user_id‖salt) % 5 — a pure function of the entity key, so
+    no entity straddles a train/validation boundary — with per-fold
+    row/entity/positive counts. One shuffle."""
+    from spark_pit.operators.drift import group_kfold_stats
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id", (F.col("event_id") % 3 == 0).cast("int").alias("label")
+    )
+    return group_kfold_stats(ev, "user_id", "label", k=5)
+
+
+Q_GROUP_KFOLD_SQL = """
+SELECT CAST(CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+              'gkf')), 1, 15)) AS BIGINT) % 5 AS INTEGER) AS fold,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+       CAST(sum(CAST(event_id % 3 = 0 AS BIGINT)) AS BIGINT) AS n_pos
+FROM events
+GROUP BY fold
+"""
+
+
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature discretization (round 6): NTILE(10) over
+    (nano value, unique tiebreak) per entity — the engine-portable
+    quantile binning a GBDT/feature-store pipeline replays at serving
+    time — with exact-element per-bin cut statistics. One exchange."""
+    from spark_pit.operators.encode import quantile_bin_stats
+
+    return quantile_bin_stats(
+        _ev(spark, sf_dir), "event_type", "value", "event_id", n_bins=10
+    )
+
+
+Q_QUANTILE_BINNING_SQL = """
+WITH base AS (
+  SELECT event_type, event_id AS t,
+         CAST(floor(value * 1000000000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+t2 AS (
+  SELECT event_type, v,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY v ASC, t ASC) AS bin
+  FROM base
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+       min(v) AS lo_nano, max(v) AS hi_nano
+FROM t2 GROUP BY event_type, bin
+"""
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (round 5; round 6:
     bucket count AUTOSIZED as B = max(64, ceil(N/16)) from a
@@ -6041,6 +6313,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pr_auc_by_group": q_pr_auc_by_group,
     "calibration_bins": q_calibration_bins,
     "brier_ece": q_brier_ece,
+    "ks_statistic": q_ks_statistic,
+    "ndcg_at_k": q_ndcg_at_k,
+    "lift_deciles": q_lift_deciles,
+    "tv_drift": q_tv_drift,
+    "group_kfold": q_group_kfold,
+    "quantile_binning": q_quantile_binning,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -6226,6 +6504,12 @@ ORACLES: dict[str, str] = {
     "pr_auc_by_group": Q_PR_AUC_BY_GROUP_SQL,
     "calibration_bins": Q_CALIBRATION_BINS_SQL,
     "brier_ece": Q_BRIER_ECE_SQL,
+    "ks_statistic": Q_KS_STATISTIC_SQL,
+    "ndcg_at_k": Q_NDCG_AT_K_SQL,
+    "lift_deciles": Q_LIFT_DECILES_SQL,
+    "tv_drift": Q_TV_DRIFT_SQL,
+    "group_kfold": Q_GROUP_KFOLD_SQL,
+    "quantile_binning": Q_QUANTILE_BINNING_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -6470,8 +6754,14 @@ GATE_ORDER: list[str] = [
     "time_rollup",
     "token_composition",
     "token_stats",
-    # round-6 late addition (post-window-freeze; lead the r7 window)
+    # round-6 late additions (post-window-freeze; lead the r7 window)
     "brier_ece",
+    "ks_statistic",
+    "ndcg_at_k",
+    "lift_deciles",
+    "tv_drift",
+    "group_kfold",
+    "quantile_binning",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

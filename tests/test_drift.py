@@ -1,0 +1,135 @@
+"""tv_drift_by_group / group_kfold_stats / quantile_bin_stats vs exact
+Python references (integer TV arithmetic, md5-fold portability, NTILE
+remainder rule)."""
+
+import hashlib
+
+import numpy as np
+
+from spark_pit.operators.drift import (
+    assign_group_fold,
+    group_kfold_stats,
+    tv_drift_by_group,
+)
+from spark_pit.operators.encode import quantile_bin_stats
+
+
+def _ref_tv_micro(vals_ref, vals_cur):
+    from collections import Counter
+
+    cr, cc = Counter(vals_ref), Counter(vals_cur)
+    nr, nc = len(vals_ref), len(vals_cur)
+    if nr == 0 or nc == 0:
+        return None
+    d = sum(abs(cr[v] * nc - cc[v] * nr) for v in set(cr) | set(cc))
+    # round_half_up(10^6 · d / (2·nr·nc))
+    return (d * 10**6 + nr * nc) // (2 * nr * nc)
+
+
+def test_tv_drift_matches_reference(spark):
+    rng = np.random.default_rng(5)
+    cats = list("abcde")
+    rows, expect = [], {}
+    for g in [0, 1]:
+        ref = [cats[i] for i in rng.integers(0, 5, 120)]
+        cur = [cats[i] for i in rng.integers(0, 4, 80)]  # 'e' vanishes
+        expect[g] = _ref_tv_micro(ref, cur)
+        rows += [(g, v, 0) for v in ref] + [(g, v, 1) for v in cur]
+    rows += [(2, "a", 0), (2, "b", 0)]  # no current period -> null
+    df = spark.createDataFrame(rows, "shard int, v string, period int")
+    got = {
+        r["shard"]: r["tv_micro"]
+        for r in tv_drift_by_group(df, "shard", "v", "period").collect()
+    }
+    assert got == {**expect, 2: None}
+
+
+def test_tv_drift_identical_distributions_is_zero(spark):
+    rows = [(0, v, p) for p in (0, 1) for v in ["x", "x", "y"]]
+    df = spark.createDataFrame(rows, "shard int, v string, period int")
+    out = tv_drift_by_group(df, "shard", "v", "period").collect()[0]
+    assert out["tv_micro"] == 0
+
+
+def test_tv_drift_disjoint_supports_is_one(spark):
+    rows = [(0, "a", 0), (0, "a", 0), (0, "b", 1), (0, "c", 1)]
+    df = spark.createDataFrame(rows, "shard int, v string, period int")
+    out = tv_drift_by_group(df, "shard", "v", "period").collect()[0]
+    assert out["tv_micro"] == 1_000_000
+
+
+def _py_fold(entity, salt, k):
+    h = hashlib.md5(f"{entity}{salt}".encode()).hexdigest()[:15]
+    return int(h, 16) % k
+
+
+def test_assign_group_fold_matches_python_md5(spark):
+    ids = [1, 7, 42, 999, 12345, 888888888888]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    got = {
+        r["user_id"]: r["fold"]
+        for r in assign_group_fold(df, "user_id", 5, salt="gkf").collect()
+    }
+    assert got == {i: _py_fold(i, "gkf", 5) for i in ids}
+
+
+def test_group_kfold_never_splits_an_entity(spark):
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(u), int(y))
+        for u in rng.integers(0, 50, 400)
+        for y in [rng.integers(0, 2)]
+    ]
+    df = spark.createDataFrame(rows, "user_id long, label int")
+    folded = assign_group_fold(df, "user_id", 4)
+    per_user = folded.groupBy("user_id").agg(
+        {"fold": "min"}
+    ).collect()  # distinct folds per user checked via countDistinct below
+    from pyspark.sql import functions as F
+
+    nf = (
+        folded.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(F.max("nf"))
+        .collect()[0][0]
+    )
+    assert nf == 1 and len(per_user) == 50
+    stats = group_kfold_stats(df, "user_id", "label", k=4).collect()
+    assert sum(r["n_rows"] for r in stats) == 400
+    assert sum(r["n_entities"] for r in stats) == 50
+    assert sum(r["n_pos"] for r in stats) == sum(y for _, y in rows)
+
+
+def _py_ntile(n, tiles):
+    q, r = divmod(n, tiles)
+    out = []
+    for i in range(1, tiles + 1):
+        out += [i] * (q + 1 if i <= r else q)
+    return out
+
+
+def test_quantile_bin_stats_matches_reference(spark):
+    rng = np.random.default_rng(31)
+    n = 53  # remainder rule: first 3 bins get 6 rows, rest 5
+    vals = np.round(rng.uniform(-2, 2, n), 3)
+    rows = [("e", float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "e string, value double, tb long")
+    got = {
+        r["bin"]: r
+        for r in quantile_bin_stats(df, "e", "value", "tb", n_bins=10).collect()
+    }
+    nanos = sorted(
+        (int(np.floor(v * 1e9 + 0.5)), i) for i, v in enumerate(vals)
+    )
+    tiles = _py_ntile(n, 10)
+    per = {}
+    for t, (v, _) in zip(tiles, nanos):
+        lo, hi, c = per.get(t, (v, v, 0))
+        per[t] = (min(lo, v), max(hi, v), c + 1)
+    for t in range(1, 11):
+        lo, hi, c = per[t]
+        assert got[t]["n"] == c
+        assert got[t]["lo_nano"] == lo and got[t]["hi_nano"] == hi
+    # bins tile the sorted order: adjacent bins never overlap
+    for t in range(1, 10):
+        assert per[t][1] <= per[t + 1][0]

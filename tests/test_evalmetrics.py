@@ -186,3 +186,143 @@ def test_brier_ece_perfect_and_worst(spark):
     assert got["good"]["brier_micro"] == 0 and got["good"]["ece_micro"] == 0
     assert got["bad"]["brier_micro"] == 1_000_000
     assert got["bad"]["ece_micro"] == 1_000_000
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def _ref_ks_micro(scores, labels):
+    """Exact KS in integers: max |cp·N − cn·P| over distinct scores,
+    then the same round-half-up integral divide the operator defines."""
+    pairs = sorted(zip(scores, labels))
+    from itertools import groupby
+
+    cp = cn = 0
+    devs = []
+    p_tot = sum(1 for _, y in pairs if y == 1)
+    n_tot = len(pairs) - p_tot
+    for _, grp in groupby(pairs, key=lambda r: r[0]):
+        grp = list(grp)
+        cp += sum(1 for _, y in grp if y == 1)
+        cn += sum(1 for _, y in grp if y == 0)
+        devs.append(abs(cp * n_tot - cn * p_tot))
+    if p_tot == 0 or n_tot == 0:
+        return None
+    d = max(devs)
+    return (2 * d * 10**6 + p_tot * n_tot) // (2 * p_tot * n_tot)
+
+
+def test_ks_matches_reference_with_ties(spark):
+    from spark_pit.operators.evalmetrics import ks_by_group
+
+    rng = np.random.default_rng(11)
+    rows, expect = [], {}
+    for g in ["g1", "g2"]:
+        scores = np.round(rng.uniform(0, 1, 80), 1)  # heavy ties
+        labels = (rng.uniform(0, 1, 80) < 0.35).astype(int)
+        expect[g] = _ref_ks_micro([float(s) for s in scores], [int(y) for y in labels])
+        rows += [(g, float(s), int(y)) for s, y in zip(scores, labels)]
+    rows += [("g3", 0.2, 1), ("g3", 0.9, 1)]  # no negatives -> null
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {r["g"]: r["ks_micro"] for r in ks_by_group(df, "g", "score", "label").collect()}
+    assert got["g1"] == expect["g1"] and got["g2"] == expect["g2"]
+    assert got["g3"] is None
+
+
+def test_ks_perfect_separation_is_one(spark):
+    from spark_pit.operators.evalmetrics import ks_by_group
+
+    rows = [("g", 0.1 * i, 0) for i in range(5)] + [("g", 0.9 + 0.01 * i, 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    out = ks_by_group(df, "g", "score", "label").collect()[0]
+    assert out["ks_micro"] == 1_000_000
+
+
+def test_ndcg_matches_reference(spark):
+    from spark_pit.operators.evalmetrics import ndcg_by_group, ndcg_weights_nano
+
+    w = ndcg_weights_nano(10)
+    rng = np.random.default_rng(7)
+    rows, expect = [], {}
+    for g in ["q1", "q2"]:
+        n = 25
+        scores = np.round(rng.uniform(0, 1, n), 1)
+        rels = rng.integers(0, 4, n)
+        items = list(range(1000, 1000 + n))
+        ranked = sorted(zip(scores, items, rels), key=lambda r: (-r[0], r[1]))
+        dcg = sum(int(r) * w[i] for i, (_, _, r) in enumerate(ranked[:10]))
+        ideal = sorted(rels, reverse=True)
+        idcg = sum(int(r) * w[i] for i, r in enumerate(ideal[:10]))
+        expect[g] = (2 * dcg * 10**6 + idcg) // (2 * idcg) if idcg > 0 else None
+        rows += [
+            (g, float(s), int(r), int(it))
+            for s, r, it in zip(scores, rels, items)
+        ]
+    rows += [("q3", 0.5, 0, 1), ("q3", 0.6, 0, 2)]  # zero relevance -> null
+    df = spark.createDataFrame(rows, "g string, score double, rel int, item long")
+    got = {
+        r["g"]: r["ndcg_micro"]
+        for r in ndcg_by_group(df, "g", "score", "rel", "item", k=10).collect()
+    }
+    assert got == {**expect, "q3": None}
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from spark_pit.operators.evalmetrics import ndcg_by_group
+
+    # score strictly increasing with relevance -> DCG == IDCG
+    rows = [("q", float(r) / 4 + 0.1, r, i) for i, r in enumerate([3, 2, 2, 1, 0])]
+    df = spark.createDataFrame(rows, "g string, score double, rel int, item long")
+    out = ndcg_by_group(df, "g", "score", "rel", "item", k=10).collect()[0]
+    assert out["ndcg_micro"] == 1_000_000
+
+
+def _py_ntile(n, tiles):
+    """Standard NTILE bucket sizes: first n % tiles buckets get the extra."""
+    q, r = divmod(n, tiles)
+    sizes = [(q + 1 if i < r else q) for i in range(tiles)]
+    out = []
+    for i, s in enumerate(sizes, start=1):
+        out += [i] * s
+    return out
+
+
+def test_lift_deciles_matches_reference(spark):
+    from spark_pit.operators.evalmetrics import lift_by_decile
+
+    rng = np.random.default_rng(23)
+    n = 97  # not divisible by 10: exercises the remainder rule
+    scores = np.round(rng.uniform(0, 1, n), 2)
+    labels = (rng.uniform(0, 1, n) < 0.3).astype(int)
+    ids = list(range(n))
+    rows = [("g", float(s), int(y), i) for s, y, i in zip(scores, labels, ids)]
+    df = spark.createDataFrame(rows, "g string, score double, label int, tb long")
+    got = {
+        r["decile"]: r
+        for r in lift_by_decile(df, "g", "score", "label", "tb", n_tiles=10).collect()
+    }
+    ranked = sorted(zip(scores, ids, labels), key=lambda r: (-r[0], r[1]))
+    tiles = _py_ntile(n, 10)
+    per = {}
+    for t, (_, _, y) in zip(tiles, ranked):
+        a, b = per.get(t, (0, 0))
+        per[t] = (a + 1, b + int(y))
+    p_tot, n_tot = sum(b for _, b in per.values()), n
+    cum = 0
+    for t in range(1, 11):
+        nn, np_ = per[t]
+        cum += np_
+        assert got[t]["n"] == nn and got[t]["n_pos"] == np_
+        assert got[t]["capture_micro"] == (2 * cum * 10**6 + p_tot) // (2 * p_tot)
+        assert got[t]["lift_micro"] == (
+            2 * np_ * n_tot * 10**6 + nn * p_tot
+        ) // (2 * nn * p_tot)
+
+
+def test_lift_deciles_zero_positives_is_null(spark):
+    from spark_pit.operators.evalmetrics import lift_by_decile
+
+    rows = [("g", 0.1 * i, 0, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, score double, label int, tb long")
+    out = lift_by_decile(df, "g", "score", "label", "tb", n_tiles=10).collect()
+    assert all(r["capture_micro"] is None and r["lift_micro"] is None for r in out)
