@@ -38,6 +38,15 @@ slice) at any cardinality:
 - ``lift_by_decile`` — the gain/lift chart: score-descending NTILE
   deciles with per-decile positive counts, cumulative capture rate and
   lift vs the group base rate, all int64 micro-units.
+- ``spearman_by_group`` — exact-rank Spearman correlation (the
+  monotonic feature-target screen): Pearson over doubled midranks,
+  which are pure integers (min+max of the tie-class row_numbers), so
+  every sum is a decimal-128 integer; the final sqrt/divide runs on
+  correctly-rounded IEEE doubles identically in any engine.
+- ``chi2_by_group`` — exact-count chi-square independence + Cramér's V
+  between two categorical columns, via χ² = N·(Σ O²/(R·C) − 1) with a
+  DEFINED per-cell nano rounding (the pr_auc convention) — the input
+  collapses to distinct cells before any wide stage.
 """
 
 from __future__ import annotations
@@ -379,6 +388,138 @@ def lift_by_decile(
                 " div (2 * CAST(n AS DECIMAL(38,0)) * __P) AS BIGINT)"
             ),
         ).alias("lift_micro"),
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact-rank per-group Spearman correlation.
+
+    Spearman ρ is Pearson over midranks. Doubled midranks are pure
+    integers (2·midrank of a tie class = min(rn)+max(rn) — the
+    auc_by_group identity), so Σa, Σb, Σa², Σb², Σab are all exact
+    decimal-128 integers; ρ = (n·Σab − Σa·Σb) /
+    √((n·Σa² − (Σa)²)·(n·Σb² − (Σb)²)) — the doubling cancels. The
+    final steps (decimal→double casts, one sqrt, one divide, the
+    floor(·10⁶+½)) are correctly-rounded IEEE operations on identical
+    inputs, hence bit-identical across engines — the auc_by_group
+    final-divide convention. Groups where either column is constant
+    (zero variance) yield null.
+
+    Plan: one exchange on the group key; the two row_number windows
+    (x order, y order) and the four tie-class windows all share it —
+    sorts, no second shuffle — and the final agg reduces per group.
+
+    Returns (group, n, rho_micro)."""
+    w_x = Window.partitionBy(group_col).orderBy(F.col(x_col).asc())
+    w_y = Window.partitionBy(group_col).orderBy(F.col(y_col).asc())
+    w_tx = Window.partitionBy(group_col, x_col)
+    w_ty = Window.partitionBy(group_col, y_col)
+    base = (
+        df.select(F.col(group_col), F.col(x_col), F.col(y_col))
+        .withColumn("__rx", F.row_number().over(w_x))
+        .withColumn("__ry", F.row_number().over(w_y))
+        .withColumn(
+            "__a",
+            (F.min("__rx").over(w_tx) + F.max("__rx").over(w_tx)).cast("long"),
+        )
+        .withColumn(
+            "__b",
+            (F.min("__ry").over(w_ty) + F.max("__ry").over(w_ty)).cast("long"),
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d(F.col("__a"))).alias("__sa"),
+        F.sum(d(F.col("__b"))).alias("__sb"),
+        F.sum(d(F.col("__a")) * F.col("__a")).alias("__saa"),
+        F.sum(d(F.col("__b")) * F.col("__b")).alias("__sbb"),
+        F.sum(d(F.col("__a")) * F.col("__b")).alias("__sab"),
+    )
+    num = F.col("n") * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    vx = F.col("n") * F.col("__saa") - F.col("__sa") * F.col("__sa")
+    vy = F.col("n") * F.col("__sbb") - F.col("__sb") * F.col("__sb")
+    rho = num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return agg.select(
+        group_col, "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(rho * 1_000_000 + F.lit(0.5)).cast("long"),
+        ).alias("rho_micro"),
+    )
+
+
+def chi2_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact-count per-group chi-square independence + Cramér's V
+    between two categorical columns (the categorical feature screen).
+
+    Uses χ² = N·(Σ_cells O²/(R·C) − 1): observed cell counts O, row
+    totals R, column totals C are exact integers from ONE groupBy that
+    collapses the table to its distinct cells before any wide stage.
+    Each cell contributes term_nano = round_half_up(O²·10⁹/(R·C))
+    (decimal-128 integral div — the pr_auc per-term convention, the
+    ONLY quantization), so χ²_nano = N·(Σterms − 10⁹) is integer;
+    chi2_micro = round_half_up(χ²_nano/1000). Cramér's V =
+    √(χ²/(N·min(r−1, c−1))) follows with one correctly-rounded
+    sqrt/divide on doubles (bit-identical across engines). Groups
+    where either column is constant yield null V.
+
+    Plan: one data shuffle to cells; the R/C windows and the final agg
+    run on the reduced cell set (two small exchanges). The two
+    countDistincts expand over cells, never over raw rows.
+
+    Returns (group, n, chi2_micro, cramers_v_micro)."""
+    cells = (
+        df.select(F.col(group_col), F.col(x_col), F.col(y_col))
+        .groupBy(group_col, x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    w_x = Window.partitionBy(group_col, x_col)
+    w_y = Window.partitionBy(group_col, y_col)
+    with_tot = cells.withColumn("__r", F.sum("__o").over(w_x)).withColumn(
+        "__c", F.sum("__o").over(w_y)
+    )
+    term = F.expr(
+        "(2 * CAST(__o AS DECIMAL(38,0)) * __o * 1000000000"
+        " + CAST(__r AS DECIMAL(38,0)) * __c)"
+        " div (2 * CAST(__r AS DECIMAL(38,0)) * __c)"
+    )
+    agg = with_tot.groupBy(group_col).agg(
+        F.sum("__o").cast("long").alias("n"),
+        F.countDistinct(x_col).cast("long").alias("__nx"),
+        F.countDistinct(y_col).cast("long").alias("__ny"),
+        F.sum(term).cast("decimal(38,0)").alias("__s"),
+    )
+    chi2_nano = F.col("n") * (F.col("__s") - F.lit(1_000_000_000))
+    dof = F.least(F.col("__nx") - 1, F.col("__ny") - 1)
+    v = F.sqrt(
+        F.greatest(chi2_nano.cast("double") / 1e9, F.lit(0.0))
+        / (F.col("n") * dof).cast("double")
+    )
+    return agg.select(
+        group_col, "n",
+        # clamp before the div: per-cell rounding can leave χ²_nano a few
+        # nano-units NEGATIVE when the true χ² is 0, and integral division
+        # of negatives is engine-divergent (Spark div truncates, SQL //
+        # floors) — the clamp keeps both engines on the positive branch
+        F.expr(
+            "CAST((2 * greatest(CAST(n AS DECIMAL(38,0)) * (__s - 1000000000),"
+            " CAST(0 AS DECIMAL(38,0))) + 1000)"
+            " div (2000) AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.when(
+            dof > 0, F.floor(v * 1_000_000 + F.lit(0.5)).cast("long")
+        ).alias("cramers_v_micro"),
     )
 
 

@@ -3358,6 +3358,115 @@ FROM t2 GROUP BY event_type, bin
 """
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rank Spearman correlation per group (round 6): Pearson over
+    integer doubled midranks (min+max of the tie-class row_numbers —
+    the auc identity), decimal-128 sums, one correctly-rounded
+    sqrt/divide at the end. Nulls are filtered first: null ORDERING is
+    engine-specific, so a rank-based statistic must never see them."""
+    from spark_pit.operators.evalmetrics import spearman_by_group
+
+    base = (
+        _ev(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (F.col("event_id") % 1000).alias("yv"),
+        )
+    )
+    return spearman_by_group(base, "event_type", "value", "yv")
+
+
+Q_SPEARMAN_SQL = """
+WITH base AS (
+  SELECT event_type, value AS x, event_id % 1000 AS y
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, x, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rx,
+         row_number() OVER (PARTITION BY event_type ORDER BY y) AS ry
+  FROM base
+),
+m AS (
+  SELECT event_type,
+         CAST(min(rx) OVER (PARTITION BY event_type, x)
+              + max(rx) OVER (PARTITION BY event_type, x) AS HUGEINT) AS a,
+         CAST(min(ry) OVER (PARTITION BY event_type, y)
+              + max(ry) OVER (PARTITION BY event_type, y) AS HUGEINT) AS b
+  FROM r
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(a) AS sa, sum(b) AS sb,
+         sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0 THEN
+         CAST(floor(CAST(n * sab - sa * sb AS DOUBLE)
+              / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                     * CAST(n * sbb - sb * sb AS DOUBLE))
+              * 1000000 + 0.5) AS BIGINT)
+       END AS rho_micro
+FROM agg
+"""
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count chi-square independence + Cramér's V per shard (round
+    6): event_type vs label over χ² = N·(ΣO²/(R·C) − 1) with the
+    defined per-cell nano rounding; the table collapses to distinct
+    cells before any wide stage."""
+    from spark_pit.operators.evalmetrics import chi2_by_group
+
+    base = _ev(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("shard"),
+        "event_type",
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return chi2_by_group(base, "shard", "event_type", "label")
+
+
+Q_CHI2_INDEPENDENCE_SQL = """
+WITH base AS (
+  SELECT user_id % 10 AS shard, event_type AS x,
+         CAST(event_id % 3 = 0 AS INT) AS y
+  FROM events
+),
+cells AS (
+  SELECT shard, x, y, CAST(count(*) AS BIGINT) AS o
+  FROM base GROUP BY shard, x, y
+),
+tot AS (
+  SELECT *,
+         sum(o) OVER (PARTITION BY shard, x) AS r,
+         sum(o) OVER (PARTITION BY shard, y) AS c
+  FROM cells
+),
+agg AS (
+  SELECT shard, CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT x) AS BIGINT) AS nx,
+         CAST(count(DISTINCT y) AS BIGINT) AS ny,
+         sum((2 * CAST(o AS HUGEINT) * o * 1000000000
+              + CAST(r AS HUGEINT) * c)
+             // (2 * CAST(r AS HUGEINT) * c)) AS s
+  FROM tot GROUP BY shard
+)
+SELECT shard, n,
+       CAST((2 * greatest(CAST(n AS HUGEINT) * (s - 1000000000), 0) + 1000)
+            // 2000 AS BIGINT) AS chi2_micro,
+       CASE WHEN least(nx - 1, ny - 1) > 0 THEN
+         CAST(floor(sqrt(greatest(CAST(n * (s - 1000000000) AS DOUBLE) / 1e9,
+                                  0.0)
+                         / CAST(n * least(nx - 1, ny - 1) AS DOUBLE))
+              * 1000000 + 0.5) AS BIGINT)
+       END AS cramers_v_micro
+FROM agg
+"""
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (round 5; round 6:
     bucket count AUTOSIZED as B = max(64, ceil(N/16)) from a
@@ -6319,6 +6428,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tv_drift": q_tv_drift,
     "group_kfold": q_group_kfold,
     "quantile_binning": q_quantile_binning,
+    "spearman_corr": q_spearman,
+    "chi2_independence": q_chi2_independence,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -6510,6 +6621,8 @@ ORACLES: dict[str, str] = {
     "tv_drift": Q_TV_DRIFT_SQL,
     "group_kfold": Q_GROUP_KFOLD_SQL,
     "quantile_binning": Q_QUANTILE_BINNING_SQL,
+    "spearman_corr": Q_SPEARMAN_SQL,
+    "chi2_independence": Q_CHI2_INDEPENDENCE_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -6762,6 +6875,8 @@ GATE_ORDER: list[str] = [
     "tv_drift",
     "group_kfold",
     "quantile_binning",
+    "spearman_corr",
+    "chi2_independence",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

@@ -326,3 +326,115 @@ def test_lift_deciles_zero_positives_is_null(spark):
     df = spark.createDataFrame(rows, "g string, score double, label int, tb long")
     out = lift_by_decile(df, "g", "score", "label", "tb", n_tiles=10).collect()
     assert all(r["capture_micro"] is None and r["lift_micro"] is None for r in out)
+
+
+def _ref_spearman_micro(xs, ys):
+    """Exact doubled-midrank Pearson, float only in the final step."""
+    def mid2(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            for t in range(i, j):
+                out[order[t]] = (i + 1) + j  # min(rn)+max(rn)
+            i = j
+        return out
+
+    a, b = mid2(xs), mid2(ys)
+    n = len(xs)
+    sa, sb = sum(a), sum(b)
+    saa = sum(v * v for v in a)
+    sbb = sum(v * v for v in b)
+    sab = sum(u * v for u, v in zip(a, b))
+    vx, vy = n * saa - sa * sa, n * sbb - sb * sb
+    if vx <= 0 or vy <= 0:
+        return None
+    import math
+
+    rho = float(n * sab - sa * sb) / math.sqrt(float(vx) * float(vy))
+    return math.floor(rho * 10**6 + 0.5)
+
+
+def test_spearman_matches_reference_with_ties(spark):
+    from spark_pit.operators.evalmetrics import spearman_by_group
+
+    rng = np.random.default_rng(13)
+    rows, expect = [], {}
+    for g in ["g1", "g2"]:
+        xs = [float(v) for v in np.round(rng.uniform(0, 1, 70), 1)]  # ties
+        ys = [int(v) for v in rng.integers(0, 8, 70)]                # ties
+        expect[g] = _ref_spearman_micro(xs, ys)
+        rows += [(g, x, y) for x, y in zip(xs, ys)]
+    rows += [("g3", 1.0, 1), ("g3", 1.0, 2)]  # constant x -> null
+    df = spark.createDataFrame(rows, "g string, x double, y int")
+    got = {r["g"]: r["rho_micro"] for r in spearman_by_group(df, "g", "x", "y").collect()}
+    assert got == {**expect, "g3": None}
+
+
+def test_spearman_perfect_monotone(spark):
+    from spark_pit.operators.evalmetrics import spearman_by_group
+
+    rows = [("g", float(i), i * i) for i in range(1, 20)]
+    rows += [("h", float(i), -i) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "g string, x double, y long")
+    got = {r["g"]: r["rho_micro"] for r in spearman_by_group(df, "g", "x", "y").collect()}
+    assert got == {"g": 1_000_000, "h": -1_000_000}
+
+
+def _ref_chi2(cells):
+    """cells: dict (x, y) -> count. Returns (chi2_micro, v_micro) with
+    the operator's defined per-cell nano rounding."""
+    import math
+    from collections import Counter
+
+    r, c = Counter(), Counter()
+    for (x, y), o in cells.items():
+        r[x] += o
+        c[y] += o
+    n = sum(cells.values())
+    s = sum(
+        (2 * o * o * 10**9 + r[x] * c[y]) // (2 * r[x] * c[y])
+        for (x, y), o in cells.items()
+    )
+    chi2_nano = n * (s - 10**9)
+    chi2_micro = (2 * max(chi2_nano, 0) + 1000) // 2000
+    dof = min(len(r) - 1, len(c) - 1)
+    if dof <= 0:
+        return chi2_micro, None
+    v = math.sqrt(max(float(chi2_nano) / 1e9, 0.0) / float(n * dof))
+    return chi2_micro, math.floor(v * 10**6 + 0.5)
+
+
+def test_chi2_matches_reference(spark):
+    from spark_pit.operators.evalmetrics import chi2_by_group
+
+    rng = np.random.default_rng(17)
+    rows, cells = [], {}
+    for _ in range(300):
+        x = "abc"[rng.integers(0, 3)]
+        y = int(rng.integers(0, 2)) if x != "c" else 1  # dependence
+        rows.append(("g", x, y))
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    df = spark.createDataFrame(rows, "g string, x string, y int")
+    out = chi2_by_group(df, "g", "x", "y").collect()[0]
+    chi2_micro, v_micro = _ref_chi2(cells)
+    assert out["chi2_micro"] == chi2_micro
+    assert out["cramers_v_micro"] == v_micro
+    assert out["n"] == 300
+
+
+def test_chi2_perfect_dependence_and_independence(spark):
+    from spark_pit.operators.evalmetrics import chi2_by_group
+
+    # x == y binary: V = 1. Product distribution: chi2 = 0 exactly.
+    rows = [("d", str(i % 2), i % 2) for i in range(40)]
+    rows += [("i", str(i % 2), (i // 2) % 2) for i in range(40)]
+    rows += [("k", "only", i % 2) for i in range(10)]  # dof 0 -> null V
+    df = spark.createDataFrame(rows, "g string, x string, y int")
+    got = {r["g"]: r for r in chi2_by_group(df, "g", "x", "y").collect()}
+    assert got["d"]["cramers_v_micro"] == 1_000_000
+    assert got["i"]["chi2_micro"] == 0
+    assert got["k"]["cramers_v_micro"] is None and got["k"]["chi2_micro"] == 0
