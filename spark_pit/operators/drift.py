@@ -19,6 +19,9 @@ train/validation boundary:
   positive counts so balance is auditable. Because the fold is a pure
   function of the entity key, no entity ever appears in two folds —
   the group-k-fold property that prevents within-entity leakage.
+- ``gini_diversity_by_group`` — exact Gini impurity of the category
+  mix per slice (1 − Σp²), the corpus-diversity screen; exactly
+  computable where Shannon entropy is not.
 
 Both are single-shuffle plans with map-side partial aggregation; no
 UDFs, no driver collect.
@@ -81,6 +84,42 @@ def tv_drift_by_group(
                 " div (2 * CAST(n_ref AS DECIMAL(38,0)) * n_cur) AS BIGINT)"
             ),
         ).alias("tv_micro"),
+    )
+
+
+def gini_diversity_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group Gini impurity of a categorical distribution —
+    the diversity screen a corpus-mix dashboard tracks (1 − Σp², the
+    probability two draws differ; 0 = monoculture, →1 = uniform over
+    many categories). Chosen over Shannon entropy because it is exactly
+    computable: gini_micro = round_half_up(10⁶·(N² − Σc²)/N²) — every
+    term a decimal-128 integer, one integral div.
+
+    Plan: one (group, value) partial-agg shuffle collapses to distinct
+    categories; the per-group reduction runs on that set.
+
+    Returns (group, n, n_categories, gini_micro)."""
+    per = (
+        df.select(F.col(group_col), F.col(value_col))
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = per.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__c")).alias("__sc2"),
+    )
+    return agg.select(
+        group_col, "n", "n_categories",
+        F.expr(
+            "CAST((2 * (CAST(n AS DECIMAL(38,0)) * n - __sc2) * 1000000"
+            " + CAST(n AS DECIMAL(38,0)) * n)"
+            " div (2 * CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("gini_micro"),
     )
 
 

@@ -47,6 +47,10 @@ slice) at any cardinality:
   between two categorical columns, via χ² = N·(Σ O²/(R·C) − 1) with a
   DEFINED per-cell nano rounding (the pr_auc convention) — the input
   collapses to distinct cells before any wide stage.
+- ``retrieval_at_k`` — the top-k retrieval triple: precision@k,
+  recall@k and reciprocal rank per query group, exact rationals under
+  the engine-portable (score desc, item asc) total ranking, one
+  window + one agg on a single exchange.
 """
 
 from __future__ import annotations
@@ -520,6 +524,75 @@ def chi2_by_group(
         F.when(
             dof > 0, F.floor(v * 1_000_000 + F.lit(0.5)).cast("long")
         ).alias("cramers_v_micro"),
+    )
+
+
+def retrieval_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    item_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-query precision@k, recall@k and reciprocal rank.
+
+    Items are ranked by (score desc, item asc) — the unique item
+    tiebreak makes the ranking total and engine-portable. With binary
+    relevance: hits = relevant items in the top k, total = relevant
+    items anywhere, first = rank of the first relevant item;
+
+        precision_micro = round(hits·10⁶ / k)
+        recall_micro    = round(hits·10⁶ / total)      (null if total=0)
+        rr_micro        = round(10⁶ / first) if first ≤ k else 0
+                                                        (null if total=0)
+
+    — all integer until one integral div each (MRR is the caller's
+    average of rr_micro over query groups). ONE exchange on the group
+    key shared by the ranking window and the final agg.
+
+    Returns (group, n_items, n_rel, hits_at_k, precision_micro,
+    recall_micro, rr_micro)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col("__item").asc()
+    )
+    base = df.select(
+        F.col(group_col),
+        F.col(score_col),
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.col(item_col).alias("__item"),
+    ).withColumn("__rn", F.row_number().over(w))
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__rel").cast("long").alias("n_rel"),
+        F.sum(F.when(F.col("__rn") <= k, F.col("__rel")).otherwise(F.lit(0)))
+        .cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__rn"))).cast("long")
+        .alias("__first"),
+    )
+    return agg.select(
+        group_col, "n_items", "n_rel", "hits_at_k",
+        F.expr(
+            f"CAST((2 * CAST(hits_at_k AS DECIMAL(38,0)) * 1000000 + {k})"
+            f" div (2 * {k}) AS BIGINT)"
+        ).alias("precision_micro"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr(
+                "CAST((2 * CAST(hits_at_k AS DECIMAL(38,0)) * 1000000 + n_rel)"
+                " div (2 * CAST(n_rel AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        ).alias("recall_micro"),
+        F.when(F.col("n_rel") == 0, F.lit(None).cast("long"))
+        .when(
+            F.col("__first") <= k,
+            F.expr(
+                "CAST((2 * CAST(1000000 AS DECIMAL(38,0)) + __first)"
+                " div (2 * CAST(__first AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rr_micro"),
     )
 
 

@@ -3467,6 +3467,93 @@ FROM agg
 """
 
 
+def q_retrieval_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval triple per query group (round 6): precision@10,
+    recall@10 and reciprocal rank — exact rationals under the
+    engine-portable (score desc, item asc) ranking; one window + one
+    agg on a single exchange."""
+    from spark_pit.operators.evalmetrics import retrieval_at_k
+
+    base = _ev(spark, sf_dir).select(
+        (F.col("user_id") % 1000).alias("query_id"),
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 5 == 0).cast("int").alias("rel"),
+        F.col("event_id").alias("item"),
+    )
+    return retrieval_at_k(base, "query_id", "score", "rel", "item", k=10)
+
+
+Q_RETRIEVAL_AT_K_SQL = """
+WITH base AS (
+  SELECT user_id % 1000 AS query_id,
+         (event_id % 997) / 997.0 AS score,
+         CAST(event_id % 5 = 0 AS BIGINT) AS rel,
+         event_id AS item
+  FROM events
+),
+r AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item ASC) AS rn
+  FROM base
+),
+agg AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(rel) AS BIGINT) AS n_rel,
+         CAST(sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS BIGINT)
+           AS hits_at_k,
+         CAST(min(CASE WHEN rel = 1 THEN rn END) AS BIGINT) AS first
+  FROM r GROUP BY query_id
+)
+SELECT query_id, n_items, n_rel, hits_at_k,
+       CAST((2 * CAST(hits_at_k AS HUGEINT) * 1000000 + 10) // 20 AS BIGINT)
+         AS precision_micro,
+       CASE WHEN n_rel > 0 THEN
+         CAST((2 * CAST(hits_at_k AS HUGEINT) * 1000000 + n_rel)
+              // (2 * CAST(n_rel AS HUGEINT)) AS BIGINT)
+       END AS recall_micro,
+       CASE WHEN n_rel = 0 THEN NULL
+            WHEN first <= 10 THEN
+              CAST((2 * CAST(1000000 AS HUGEINT) + first)
+                   // (2 * CAST(first AS HUGEINT)) AS BIGINT)
+            ELSE 0 END AS rr_micro
+FROM agg
+"""
+
+
+def q_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini impurity of the event-type mix per shard (round 6):
+    the corpus-diversity screen — (N² − Σc²)/N² in decimal-128 integers
+    with one rounded integral div; the table collapses to distinct
+    categories before the reduction."""
+    from spark_pit.operators.drift import gini_diversity_by_group
+
+    base = _ev(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("shard"), F.col("event_type")
+    )
+    return gini_diversity_by_group(base, "shard", "event_type")
+
+
+Q_GINI_DIVERSITY_SQL = """
+WITH per AS (
+  SELECT user_id % 10 AS shard, event_type AS v, count(*) AS c
+  FROM events GROUP BY shard, v
+),
+agg AS (
+  SELECT shard, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_categories,
+         sum(CAST(c AS HUGEINT) * c) AS sc2
+  FROM per GROUP BY shard
+)
+SELECT shard, n, n_categories,
+       CAST((2 * (CAST(n AS HUGEINT) * n - sc2) * 1000000
+             + CAST(n AS HUGEINT) * n)
+            // (2 * CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_micro
+FROM agg
+"""
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (round 5; round 6:
     bucket count AUTOSIZED as B = max(64, ceil(N/16)) from a
@@ -6430,6 +6517,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_binning": q_quantile_binning,
     "spearman_corr": q_spearman,
     "chi2_independence": q_chi2_independence,
+    "retrieval_at_k": q_retrieval_at_k,
+    "gini_diversity": q_gini_diversity,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -6623,6 +6712,8 @@ ORACLES: dict[str, str] = {
     "quantile_binning": Q_QUANTILE_BINNING_SQL,
     "spearman_corr": Q_SPEARMAN_SQL,
     "chi2_independence": Q_CHI2_INDEPENDENCE_SQL,
+    "retrieval_at_k": Q_RETRIEVAL_AT_K_SQL,
+    "gini_diversity": Q_GINI_DIVERSITY_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -6877,6 +6968,8 @@ GATE_ORDER: list[str] = [
     "quantile_binning",
     "spearman_corr",
     "chi2_independence",
+    "retrieval_at_k",
+    "gini_diversity",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

@@ -133,3 +133,33 @@ def test_quantile_bin_stats_matches_reference(spark):
     # bins tile the sorted order: adjacent bins never overlap
     for t in range(1, 10):
         assert per[t][1] <= per[t + 1][0]
+
+
+def test_gini_diversity_matches_reference(spark):
+    from collections import Counter
+
+    from spark_pit.operators.drift import gini_diversity_by_group
+
+    rng = np.random.default_rng(43)
+    rows, expect = [], {}
+    for g in [0, 1]:
+        vals = [f"c{i}" for i in rng.integers(0, 6, 150)]
+        c = Counter(vals)
+        n, sc2 = len(vals), sum(v * v for v in c.values())
+        expect[g] = ((2 * (n * n - sc2) * 10**6 + n * n) // (2 * n * n), len(c))
+        rows += [(g, v) for v in vals]
+    rows += [(2, "only")] * 7  # monoculture -> gini 0
+    df = spark.createDataFrame(rows, "shard int, v string")
+    got = {
+        r["shard"]: (r["gini_micro"], r["n_categories"])
+        for r in gini_diversity_by_group(df, "shard", "v").collect()
+    }
+    assert got == {**expect, 2: (0, 1)}
+
+
+def test_gini_two_equal_categories_is_half(spark):
+    from spark_pit.operators.drift import gini_diversity_by_group
+
+    rows = [(0, "a")] * 10 + [(0, "b")] * 10
+    df = spark.createDataFrame(rows, "shard int, v string")
+    assert gini_diversity_by_group(df, "shard", "v").collect()[0]["gini_micro"] == 500_000

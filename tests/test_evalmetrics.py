@@ -438,3 +438,47 @@ def test_chi2_perfect_dependence_and_independence(spark):
     assert got["d"]["cramers_v_micro"] == 1_000_000
     assert got["i"]["chi2_micro"] == 0
     assert got["k"]["cramers_v_micro"] is None and got["k"]["chi2_micro"] == 0
+
+
+def test_retrieval_at_k_matches_reference(spark):
+    from spark_pit.operators.evalmetrics import retrieval_at_k
+
+    rng = np.random.default_rng(41)
+    rows, expect = [], {}
+    for g in ["q1", "q2"]:
+        n = 30
+        scores = [float(s) for s in np.round(rng.uniform(0, 1, n), 1)]
+        rels = [int(r) for r in (rng.uniform(0, 1, n) < 0.2)]
+        items = list(range(n))
+        ranked = sorted(zip(scores, items, rels), key=lambda r: (-r[0], r[1]))
+        hits = sum(r for _, _, r in ranked[:10])
+        total = sum(rels)
+        first = next((i + 1 for i, (_, _, r) in enumerate(ranked) if r), None)
+        prec = (2 * hits * 10**6 + 10) // 20
+        rec = (2 * hits * 10**6 + total) // (2 * total) if total else None
+        if total == 0:
+            rr = None
+        elif first <= 10:
+            rr = (2 * 10**6 + first) // (2 * first)
+        else:
+            rr = 0
+        expect[g] = (hits, prec, rec, rr)
+        rows += [(g, s, r, i) for s, r, i in zip(scores, rels, items)]
+    rows += [("q3", 0.5, 0, 1), ("q3", 0.9, 0, 2)]  # no relevant -> nulls
+    df = spark.createDataFrame(rows, "g string, score double, rel int, item long")
+    got = {
+        r["g"]: (r["hits_at_k"], r["precision_micro"], r["recall_micro"], r["rr_micro"])
+        for r in retrieval_at_k(df, "g", "score", "rel", "item", k=10).collect()
+    }
+    assert got == {**expect, "q3": (0, 0, None, None)}
+
+
+def test_retrieval_rr_zero_when_first_hit_outside_k(spark):
+    from spark_pit.operators.evalmetrics import retrieval_at_k
+
+    # 12 items, only the lowest-scored one relevant -> rank 12 > k=10
+    rows = [("q", float(i), 1 if i == 0 else 0, i) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, score double, rel int, item long")
+    out = retrieval_at_k(df, "g", "score", "rel", "item", k=10).collect()[0]
+    assert out["rr_micro"] == 0 and out["hits_at_k"] == 0
+    assert out["recall_micro"] == 0 and out["n_rel"] == 1
