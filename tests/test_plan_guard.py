@@ -77,6 +77,26 @@ EXPECTED: dict[str, tuple] = {
     "opf_multihot": (0, 0, 0, 0, 0, 0, 0, [["doc_id", "text"]]),
     # autosized ring-bucket negative sampling: ONE bucket equi-join
     "negative_sample": (2, 2, 0, 0, 2, 0, 0, [DOC, DOC]),
+    # round-6 late additions (eval/drift/screening plane). The 4s are
+    # 1 data shuffle + 1 reduced-set shuffle (distinct thresholds /
+    # categories / fold keys); chi2's extras are the R/C windows + the
+    # two-level countDistinct expand over the ≤r·c cell set
+    "ks_statistic": (4, 0, 0, 0, 0, 0, 0, [["event_id", "event_type"]]),
+    "ndcg_at_k": (2, 0, 0, 0, 0, 0, 0, [["event_id", "user_id"]]),
+    "lift_deciles": (2, 0, 0, 0, 0, 0, 0, [["event_id", "event_type"]]),
+    "tv_drift": (4, 0, 0, 0, 0, 0, 0, [["event_id", "event_type", "user_id"]]),
+    "group_kfold": (4, 0, 0, 0, 0, 0, 0, [["event_id", "user_id"]]),
+    "quantile_binning": (
+        2, 0, 0, 0, 1, 0, 0, [["event_id", "event_type", "value"]],
+    ),
+    "spearman_corr": (
+        2, 0, 0, 0, 1, 0, 0, [["event_id", "event_type", "value"]],
+    ),
+    "chi2_independence": (
+        10, 0, 0, 0, 0, 0, 0, [["event_id", "event_type", "user_id"]],
+    ),
+    "retrieval_at_k": (2, 0, 0, 0, 0, 0, 0, [["event_id", "user_id"]]),
+    "gini_diversity": (4, 0, 0, 0, 0, 0, 0, [["event_type", "user_id"]]),
 }
 
 

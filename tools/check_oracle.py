@@ -32,8 +32,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype("int64")
-        elif df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], str):
-            df[c] = df[c].astype(str)
+        elif df[c].dtype == object and df[c].notna().any() and isinstance(
+            df[c].dropna().iloc[0], str
+        ):
+            # Decide the string branch from the first NON-NULL value and
+            # convert null-stably (nulls stay None). The old iloc[0] check
+            # read the UNSORTED frame's physical first row, which on the
+            # Spark side depends on nondeterministic partition arrival
+            # order: when one engine's row 0 happened to be null and the
+            # other's a string, only one side ran astype(str) (mapping
+            # None -> 'None') and an always-green nullable-string query
+            # (asof_join_nearest, 79% nulls at sf0.01) flaked a one-column
+            # value mismatch under concurrent load.
+            df[c] = df[c].map(lambda v: None if pd.isna(v) else str(v))
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")  # int32/Int64 width unify only
         elif pd.api.types.is_bool_dtype(df[c]):
