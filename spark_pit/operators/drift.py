@@ -22,6 +22,14 @@ train/validation boundary:
 - ``gini_diversity_by_group`` — exact Gini impurity of the category
   mix per slice (1 − Σp²), the corpus-diversity screen; exactly
   computable where Shannon entropy is not.
+- ``oof_target_encode`` — the out-of-fold target-encoding TABLE:
+  per (category, fold), the target count/mean computed over the OTHER
+  folds only (leave-one-fold-out), built on the same md5-fold entity
+  assignment — the serving artifact that lets a training job encode a
+  fold without ever seeing its own labels.
+- ``data_profile`` — exact per-column data-quality audit (rows, nulls,
+  distinct values) over a declared column list, unpivoted into one
+  (column, value) aggregation pass.
 
 Both are single-shuffle plans with map-side partial aggregation; no
 UDFs, no driver collect.
@@ -168,4 +176,91 @@ def group_kfold_stats(
             F.countDistinct(entity_col).cast("long").alias("n_entities"),
             F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
         )
+    )
+
+
+def oof_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    entity_col: str,
+    k: int,
+    salt: str = "gkf",
+) -> DataFrame:
+    """Out-of-fold target-encoding table (leave-one-fold-out).
+
+    Folds come from the deterministic md5 entity assignment
+    (``assign_group_fold``), so an entity's rows never inform the
+    encoding its own fold consumes — the standard leak-safe mean
+    encoding for k-fold training, as a (category, fold) TABLE the
+    training job joins in (k·|categories| rows, the serving artifact).
+
+    Targets are quantized to int64 micro-units (floor(t·10⁶ + ½) —
+    the defined quantization the eval plane shares); per-fold sums are
+    decimal-128 integers; oof_mean_micro = round_half_up(
+    (SUM_cat − sum_fold)/(CNT_cat − cnt_fold)) — one integral div.
+    A (category, fold) whose complement is empty yields null mean.
+
+    Plan: ONE data shuffle — groupBy(category, fold) with map-side
+    partial aggregation collapses the table to k rows per category;
+    the category-total windows run on that reduced set.
+
+    Returns (category, fold, n_in_fold, oof_count, oof_mean_micro)."""
+    t_us = F.floor(F.col(target_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    with_fold = assign_group_fold(
+        df.select(F.col(cat_col), F.col(entity_col), t_us.alias("__t")),
+        entity_col, k, salt=salt,
+    )
+    per = with_fold.groupBy(cat_col, "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_fold"),
+        F.sum(F.col("__t").cast("decimal(38,0)")).alias("__s"),
+    )
+    w_all = Window.partitionBy(cat_col)
+    tot = per.withColumn("__cnt", F.sum("n_in_fold").over(w_all)).withColumn(
+        "__sum", F.sum("__s").over(w_all)
+    )
+    oof_cnt = (F.col("__cnt") - F.col("n_in_fold")).cast("long")
+    return tot.select(
+        cat_col, "fold", "n_in_fold",
+        oof_cnt.alias("oof_count"),
+        # round_half_up for EITHER sign of the target sum: floor-div
+        # emulated as (x - pmod(x, y)) div y (Spark div truncates; the
+        # subtraction makes the division exact), mirroring SQL's
+        # floor-semantics // in the oracle
+        F.when(
+            oof_cnt > 0,
+            F.expr(
+                "CAST(((2 * (CAST(__sum AS DECIMAL(38,0)) - __s)"
+                " + (__cnt - n_in_fold))"
+                " - pmod(2 * (CAST(__sum AS DECIMAL(38,0)) - __s)"
+                " + (__cnt - n_in_fold),"
+                " 2 * (CAST(__cnt AS DECIMAL(38,0)) - n_in_fold)))"
+                " div (2 * (CAST(__cnt AS DECIMAL(38,0)) - n_in_fold))"
+                " AS BIGINT)"
+            ),
+        ).alias("oof_mean_micro"),
+    )
+
+
+def data_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact per-column data-quality audit: row count, null count and
+    distinct-value count for each declared column, computed in ONE
+    unpivoted pass (stack to (column, value-as-string) rows, then one
+    aggregation with map-side partials). Values are profiled on their
+    STRING form — callers pass integer/string columns or pre-quantized
+    numerics, keeping the form engine-portable (float formatting is
+    not). The exact countDistinct is the oracle-checkable form; the
+    constant-memory substitute at the 100 TB tier is the HLL++ sketch
+    audit (analysis.sketch_vs_exact).
+
+    Returns (col_name, n_rows, n_null, n_distinct)."""
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    unpiv = df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col_name, value)")
+    return unpiv.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_null"),
+        F.countDistinct("value").cast("long").alias("n_distinct"),
     )

@@ -3554,6 +3554,80 @@ FROM agg
 """
 
 
+def q_oof_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target-encoding table (round 6): per (event_type,
+    fold), target count/mean over the OTHER folds only — the leak-safe
+    k-fold mean encoding as a serving artifact, folds from the md5
+    entity assignment. One data shuffle; sign-safe floor-div rounding."""
+    from spark_pit.operators.drift import oof_target_encode
+
+    ev = _ev(spark, sf_dir).select("event_type", "user_id", "value")
+    return oof_target_encode(ev, "event_type", "value", "user_id", k=5)
+
+
+Q_OOF_TARGET_ENCODE_SQL = """
+WITH wf AS (
+  SELECT event_type,
+         CAST(CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+              'gkf')), 1, 15)) AS BIGINT) % 5 AS INTEGER) AS fold,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS t
+  FROM events
+),
+per AS (
+  SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_in_fold,
+         sum(CAST(t AS HUGEINT)) AS s
+  FROM wf GROUP BY event_type, fold
+),
+tot AS (
+  SELECT *,
+         sum(n_in_fold) OVER (PARTITION BY event_type) AS cnt,
+         sum(s) OVER (PARTITION BY event_type) AS sm
+  FROM per
+)
+SELECT event_type, fold, n_in_fold,
+       CAST(cnt - n_in_fold AS BIGINT) AS oof_count,
+       CASE WHEN cnt - n_in_fold > 0 THEN
+         CAST((2 * (CAST(sm AS HUGEINT) - s) + (cnt - n_in_fold))
+              // (2 * (CAST(cnt AS HUGEINT) - n_in_fold)) AS BIGINT)
+       END AS oof_mean_micro
+FROM tot
+"""
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column data-quality profile (round 6): rows, nulls,
+    distinct values for event_type / user_id / props / nano-quantized
+    value, in ONE unpivoted aggregation pass over string forms
+    (numerics pre-quantized — float formatting is not engine-portable)."""
+    from spark_pit.operators.drift import data_profile
+
+    base = _ev(spark, sf_dir).select(
+        "event_type", "user_id", "props",
+        F.floor(F.col("value") * 1_000_000_000 + F.lit(0.5))
+        .cast("long").alias("value_nano"),
+    )
+    return data_profile(base, ["event_type", "user_id", "props", "value_nano"])
+
+
+Q_DATA_PROFILE_SQL = """
+WITH base AS (
+  SELECT event_type, user_id, props,
+         CAST(floor(value * 1000000000 + 0.5) AS BIGINT) AS value_nano
+  FROM events
+),
+u AS (
+  SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR) AS value FROM base
+  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM base
+  UNION ALL SELECT 'props', CAST(props AS VARCHAR) FROM base
+  UNION ALL SELECT 'value_nano', CAST(value_nano AS VARCHAR) FROM base
+)
+SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct
+FROM u GROUP BY col_name
+"""
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (round 5; round 6:
     bucket count AUTOSIZED as B = max(64, ceil(N/16)) from a
@@ -6519,6 +6593,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_independence": q_chi2_independence,
     "retrieval_at_k": q_retrieval_at_k,
     "gini_diversity": q_gini_diversity,
+    "oof_target_encode": q_oof_target_encode,
+    "data_profile": q_data_profile,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -6714,6 +6790,8 @@ ORACLES: dict[str, str] = {
     "chi2_independence": Q_CHI2_INDEPENDENCE_SQL,
     "retrieval_at_k": Q_RETRIEVAL_AT_K_SQL,
     "gini_diversity": Q_GINI_DIVERSITY_SQL,
+    "oof_target_encode": Q_OOF_TARGET_ENCODE_SQL,
+    "data_profile": Q_DATA_PROFILE_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -6970,6 +7048,8 @@ GATE_ORDER: list[str] = [
     "chi2_independence",
     "retrieval_at_k",
     "gini_diversity",
+    "oof_target_encode",
+    "data_profile",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

@@ -163,3 +163,72 @@ def test_gini_two_equal_categories_is_half(spark):
     rows = [(0, "a")] * 10 + [(0, "b")] * 10
     df = spark.createDataFrame(rows, "shard int, v string")
     assert gini_diversity_by_group(df, "shard", "v").collect()[0]["gini_micro"] == 500_000
+
+
+def test_oof_target_encode_matches_reference_and_excludes_own_fold(spark):
+    from collections import defaultdict
+
+    from spark_pit.operators.drift import oof_target_encode
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for _ in range(240):
+        cat = "xy"[rng.integers(0, 2)]
+        uid = int(rng.integers(0, 30))
+        t = float(np.round(rng.uniform(-3, 3), 2))  # negative targets too
+        rows.append((cat, uid, t))
+    df = spark.createDataFrame(rows, "cat string, user_id long, target double")
+    got = {
+        (r["cat"], r["fold"]): r
+        for r in oof_target_encode(df, "cat", "target", "user_id", k=3).collect()
+    }
+    per = defaultdict(lambda: [0, 0])  # (cat, fold) -> [n, sum_micro]
+    for cat, uid, t in rows:
+        f = _py_fold(uid, "gkf", 3)
+        tm = int(np.floor(t * 10**6 + 0.5))
+        per[(cat, f)][0] += 1
+        per[(cat, f)][1] += tm
+    tot = defaultdict(lambda: [0, 0])
+    for (cat, f), (n, s) in per.items():
+        tot[cat][0] += n
+        tot[cat][1] += s
+    for (cat, f), (n, s) in per.items():
+        oof_n = tot[cat][0] - n
+        oof_s = tot[cat][1] - s
+        num, den = 2 * oof_s + oof_n, 2 * oof_n
+        want = num // den if oof_n else None  # floor div = round_half_up
+        r = got[(cat, f)]
+        assert r["n_in_fold"] == n and r["oof_count"] == oof_n
+        assert r["oof_mean_micro"] == want, (cat, f)
+
+
+def test_oof_single_fold_category_yields_null(spark):
+    from spark_pit.operators.drift import oof_target_encode
+
+    # one entity -> one fold -> complement empty -> null mean
+    rows = [("solo", 7, 1.5), ("solo", 7, 2.5)]
+    df = spark.createDataFrame(rows, "cat string, user_id long, target double")
+    out = oof_target_encode(df, "cat", "target", "user_id", k=4).collect()
+    assert len(out) == 1 and out[0]["oof_mean_micro"] is None
+    assert out[0]["oof_count"] == 0
+
+
+def test_data_profile_counts(spark):
+    from spark_pit.operators.drift import data_profile
+
+    rows = [
+        ("a", 1, None),
+        ("a", None, "p1"),
+        ("b", 2, "p1"),
+        (None, 2, "p2"),
+    ]
+    df = spark.createDataFrame(rows, "c1 string, c2 long, c3 string")
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+        for r in data_profile(df, ["c1", "c2", "c3"]).collect()
+    }
+    assert got == {
+        "c1": (4, 1, 2),   # a, b
+        "c2": (4, 1, 2),   # 1, 2
+        "c3": (4, 1, 2),   # p1, p2
+    }

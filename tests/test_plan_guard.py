@@ -97,6 +97,12 @@ EXPECTED: dict[str, tuple] = {
     ),
     "retrieval_at_k": (2, 0, 0, 0, 0, 0, 0, [["event_id", "user_id"]]),
     "gini_diversity": (4, 0, 0, 0, 0, 0, 0, [["event_type", "user_id"]]),
+    "oof_target_encode": (
+        4, 0, 0, 0, 0, 0, 0, [["event_type", "user_id", "value"]],
+    ),
+    "data_profile": (
+        4, 0, 0, 0, 0, 0, 0, [["event_type", "props", "user_id", "value"]],
+    ),
 }
 
 
