@@ -69,6 +69,15 @@ def tv_drift_by_group(
             F.sum("__p").alias("__cc"),
         )
     )
+    return tv_from_counts(per_val, group_col)
+
+
+def tv_from_counts(per_val: DataFrame, group_col: str) -> DataFrame:
+    """The TV reduction over a pre-aggregated (group, value, __cr, __cc)
+    count table — shared by the batch operator above and the streaming
+    drift monitor (whose per-(group, value) period counts a built-in
+    streaming aggregation maintains incrementally across micro-batches).
+    Runs on the collapsed distinct-category set."""
     w_all = Window.partitionBy(group_col)
     tot = per_val.withColumn("__nr", F.sum("__cr").over(w_all)).withColumn(
         "__nc", F.sum("__cc").over(w_all)

@@ -3628,6 +3628,100 @@ FROM u GROUP BY col_name
 """
 
 
+def q_streaming_drift_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth streaming DRIVER-GATE row (round 6): the drift gate as a
+    CONTINUOUS monitor. A built-in streaming aggregation maintains the
+    per-(shard, category) period counts incrementally across
+    micro-batches (complete output mode — the count table is the
+    bounded state, |shards|·|categories| rows regardless of stream
+    length); the TV reduction then runs over the FINAL streamed counts
+    via the same ``tv_from_counts`` code path the batch operator uses,
+    and must reproduce batch ``tv_drift_by_group`` over the same rows
+    EXACTLY — integer TV arithmetic, so the diff counts are pinned
+    zero, not approximately zero."""
+    import os
+    import tempfile
+
+    from spark_pit.operators.drift import tv_drift_by_group, tv_from_counts
+
+    ck = tempfile.mkdtemp(prefix="ck_drift_parity_")
+    name = "drift_parity_" + os.path.basename(ck).strip("_").replace("-", "_")[-12:]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(sf_dir)  # directory scan; sibling tables filtered below
+        .where(
+            F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 10).alias("shard"),
+            F.col("event_type"),
+            ((F.col("event_id") % 7 < 3).cast("long")).alias("__p"),
+        )
+    )
+    counts = raw.groupBy("shard", "event_type").agg(
+        F.sum(F.lit(1) - F.col("__p")).alias("__cr"),
+        F.sum("__p").alias("__cc"),
+    )
+    stream_q = (
+        counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(stream_q)
+    stream = tv_from_counts(spark.table(name), "shard").select(
+        "shard",
+        F.col("n_ref").alias("nr_s"),
+        F.col("n_cur").alias("nc_s"),
+        F.col("tv_micro").alias("tv_s"),
+        F.lit(1).alias("__s"),
+    )
+    base = _ev(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("shard"),
+        F.col("event_type"),
+        (F.col("event_id") % 7 < 3).cast("int").alias("period"),
+    )
+    batch = tv_drift_by_group(base, "shard", "event_type", "period").select(
+        "shard",
+        F.col("n_ref").alias("nr_b"),
+        F.col("n_cur").alias("nc_b"),
+        F.col("tv_micro").alias("tv_b"),
+        F.lit(1).alias("__b"),
+    )
+    j = stream.join(batch, "shard", "full_outer")
+    zero = F.lit(0).cast("long")
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("__b").isNull(), 1)), zero)
+        .cast("long").alias("n_only_stream"),
+        F.coalesce(F.sum(F.when(F.col("__s").isNull(), 1)), zero)
+        .cast("long").alias("n_only_batch"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__s").isNotNull() & F.col("__b").isNotNull()
+                    & (
+                        ~F.col("nr_s").eqNullSafe(F.col("nr_b"))
+                        | ~F.col("nc_s").eqNullSafe(F.col("nc_b"))
+                        | ~F.col("tv_s").eqNullSafe(F.col("tv_b"))
+                    ),
+                    1,
+                )
+            ),
+            zero,
+        ).cast("long").alias("n_value_diff"),
+    )
+
+
+Q_STREAMING_DRIFT_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_stream,
+       CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_value_diff
+"""
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (round 5; round 6:
     bucket count AUTOSIZED as B = max(64, ceil(N/16)) from a
@@ -6595,6 +6689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_diversity": q_gini_diversity,
     "oof_target_encode": q_oof_target_encode,
     "data_profile": q_data_profile,
+    "streaming_drift_parity": q_streaming_drift_parity,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -6792,6 +6887,7 @@ ORACLES: dict[str, str] = {
     "gini_diversity": Q_GINI_DIVERSITY_SQL,
     "oof_target_encode": Q_OOF_TARGET_ENCODE_SQL,
     "data_profile": Q_DATA_PROFILE_SQL,
+    "streaming_drift_parity": Q_STREAMING_DRIFT_PARITY_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -7050,6 +7146,7 @@ GATE_ORDER: list[str] = [
     "gini_diversity",
     "oof_target_encode",
     "data_profile",
+    "streaming_drift_parity",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

@@ -628,3 +628,57 @@ def test_stateful_kernels_survive_multi_chunk_groups(spark, tmp_path):
         for r in target_encode_pit(df, "c", "ts", "v", tiebreak="i").collect()
     }
     assert got == want
+
+
+def test_streaming_drift_counts_accumulate_across_batches(spark, tmp_path):
+    """The streaming drift monitor's per-(shard, category) period counts
+    must ACCUMULATE across micro-batches (maxFilesPerTrigger=1 forces 3
+    batches) so the TV computed from the final streamed counts equals
+    the batch tv_drift_by_group over the union of all batches — exact
+    integer equality, per shard."""
+    from spark_pit.operators.drift import tv_drift_by_group, tv_from_counts
+
+    batches = [
+        # (shard, category, period): category mix shifts between periods
+        [(0, "a", 0), (0, "a", 0), (0, "b", 0), (1, "x", 0)],
+        [(0, "a", 1), (0, "b", 1), (0, "b", 1), (1, "x", 1)],
+        [(0, "c", 1), (1, "y", 0), (1, "y", 1), (1, "x", 0)],
+    ]
+    src_dir = tmp_path / "drift_src"
+    src_dir.mkdir()
+    schema = "shard int, v string, p long"
+    for k, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src_dir / f"b{k}")
+        )
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "b*"))
+    )
+    counts = stream_src.groupBy("shard", "v").agg(
+        F.sum(F.lit(1) - F.col("p")).alias("__cr"),
+        F.sum("p").alias("__cc"),
+    )
+    q = (
+        counts.writeStream.format("memory").queryName("driftstate")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["shard"]: (r["n_ref"], r["n_cur"], r["tv_micro"])
+        for r in tv_from_counts(spark.table("driftstate"), "shard").collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    want = {
+        r["shard"]: (r["n_ref"], r["n_cur"], r["tv_micro"])
+        for r in tv_drift_by_group(
+            spark.createDataFrame(all_rows, schema), "shard", "v", "p"
+        ).collect()
+    }
+    assert got == want
+    # sanity: shard 0 really drifted (b appears more, c appears, a drops)
+    assert want[0][2] > 0
