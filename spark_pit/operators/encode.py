@@ -240,3 +240,55 @@ def winsorize_stats(
         F.round(F.first("__bhi") / 1e9, 6).alias("hi_bound"),
         F.round(F.sum("__c") / F.first("n") / 1e9, 6).alias("winsorized_mean"),
     )
+
+
+def mad_by_group(
+    df: DataFrame,
+    entity: str,
+    col: str,
+) -> DataFrame:
+    """Per-entity median absolute deviation — the robust sigma that
+    completes the robust-scaling family (robust_quantiles gives the
+    median/IQR, winsorize_stats the clipped mean; MAD is the
+    outlier-resistant spread the feature store publishes alongside).
+
+    Both statistics are RANK-BASED exact elements (the ceil(n/2)-th
+    smallest — the lower median — first of the int64 nano-quantized
+    value, then of |value − median|): no interpolation, no floats, so
+    the result is bit-identical across engines and partition layouts.
+
+    Plan: the winsorize_stats shape — one (entity, value) rank window
+    picks the median in a per-entity conditional agg (the agg key
+    equals the window partition key, so Catalyst reuses the exchange),
+    the one-row-per-entity median table joins back (broadcastable),
+    and a second rank window over the deviation picks the MAD.
+
+    Returns (entity, n, median_nano, mad_nano)."""
+    nano = F.floor(F.col(col) * 1e9 + F.lit(0.5)).cast("long")
+    base = df.where(F.col(col).isNotNull()).select(
+        F.col(entity), nano.alias("__v")
+    )
+    w = Window.partitionBy(entity).orderBy(F.col("__v").asc())
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(entity))
+    )
+    kmed = F.ceil(F.col("__n") / 2)
+    med = ranked.groupBy(entity).agg(
+        F.max(F.when(F.col("__rn") == kmed, F.col("__v"))).alias("median_nano"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = base.join(med, entity).select(
+        F.col(entity), F.col("n"), F.col("median_nano"),
+        F.abs(F.col("__v") - F.col("median_nano")).alias("__d"),
+    )
+    wd = Window.partitionBy(entity).orderBy(F.col("__d").asc())
+    kmad = F.ceil(F.col("n") / 2)
+    return (
+        dev.withColumn("__rd", F.row_number().over(wd))
+        .groupBy(entity)
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            F.first("median_nano").alias("median_nano"),
+            F.max(F.when(F.col("__rd") == kmad, F.col("__d"))).alias("mad_nano"),
+        )
+    )

@@ -3628,6 +3628,51 @@ FROM u GROUP BY col_name
 """
 
 
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based median absolute deviation per entity (round 6):
+    the robust sigma completing the robust-scaling family — both the
+    median and the MAD are exact nano-unit ELEMENTS (the ceil(n/2)-th
+    smallest; no interpolation, no floats), so the tie order of the
+    rank windows cannot change the value."""
+    from spark_pit.operators.encode import mad_by_group
+
+    return mad_by_group(_ev(spark, sf_dir), "event_type", "value")
+
+
+Q_MAD_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 1000000000 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                       THEN v END) AS BIGINT) AS median_nano,
+         CAST(count(*) AS BIGINT) AS n
+  FROM r GROUP BY event_type
+),
+d AS (
+  SELECT b.event_type, m.n, m.median_nano,
+         abs(b.v - m.median_nano) AS dv
+  FROM base b JOIN med m ON b.event_type = m.event_type
+),
+rd AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rdn
+  FROM d
+)
+SELECT event_type, n, median_nano,
+       CAST(max(CASE WHEN rdn = CAST(ceil(n / 2.0) AS BIGINT)
+                     THEN dv END) AS BIGINT) AS mad_nano
+FROM rd GROUP BY event_type, n, median_nano
+"""
+
+
 def q_streaming_drift_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eighth streaming DRIVER-GATE row (round 6): the drift gate as a
     CONTINUOUS monitor. A built-in streaming aggregation maintains the
@@ -6690,6 +6735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oof_target_encode": q_oof_target_encode,
     "data_profile": q_data_profile,
     "streaming_drift_parity": q_streaming_drift_parity,
+    "mad_robust_scale": q_mad,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -6888,6 +6934,7 @@ ORACLES: dict[str, str] = {
     "oof_target_encode": Q_OOF_TARGET_ENCODE_SQL,
     "data_profile": Q_DATA_PROFILE_SQL,
     "streaming_drift_parity": Q_STREAMING_DRIFT_PARITY_SQL,
+    "mad_robust_scale": Q_MAD_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -7147,6 +7194,7 @@ GATE_ORDER: list[str] = [
     "oof_target_encode",
     "data_profile",
     "streaming_drift_parity",
+    "mad_robust_scale",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

@@ -232,3 +232,36 @@ def test_data_profile_counts(spark):
         "c2": (4, 1, 2),   # 1, 2
         "c3": (4, 1, 2),   # p1, p2
     }
+
+
+def test_mad_matches_reference_odd_and_even(spark):
+    from spark_pit.operators.encode import mad_by_group
+
+    rng = np.random.default_rng(53)
+
+    def ref(vals):
+        nanos = sorted(int(np.floor(v * 1e9 + 0.5)) for v in vals)
+        n = len(nanos)
+        med = nanos[(n + 1) // 2 - 1]  # lower median, ceil(n/2)-th smallest
+        devs = sorted(abs(v - med) for v in nanos)
+        return med, devs[(n + 1) // 2 - 1]
+
+    rows, expect = [], {}
+    for g, n in [("odd", 31), ("even", 24)]:
+        vals = [float(v) for v in np.round(rng.uniform(-5, 5, n), 3)]
+        expect[g] = ref(vals)
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "e string, value double")
+    got = {
+        r["e"]: (r["median_nano"], r["mad_nano"])
+        for r in mad_by_group(df, "e", "value").collect()
+    }
+    assert got == expect
+
+
+def test_mad_constant_column_is_zero(spark):
+    from spark_pit.operators.encode import mad_by_group
+
+    df = spark.createDataFrame([("c", 2.5)] * 9, "e string, value double")
+    out = mad_by_group(df, "e", "value").collect()[0]
+    assert out["mad_nano"] == 0 and out["median_nano"] == 2_500_000_000

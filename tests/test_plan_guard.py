@@ -103,6 +103,11 @@ EXPECTED: dict[str, tuple] = {
     "data_profile": (
         4, 0, 0, 0, 0, 0, 0, [["event_type", "props", "user_id", "value"]],
     ),
+    # rank window -> broadcast median join-back -> second rank window
+    "mad_robust_scale": (
+        2, 2, 0, 0, 2, 0, 0,
+        [["event_type", "value"], ["event_type", "value"]],
+    ),
 }
 
 
