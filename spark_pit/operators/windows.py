@@ -425,3 +425,118 @@ def time_rollup(
         F.min("__v").alias("min_micro"),
         F.max("__v").alias("max_micro"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    bucket_s: int = 604_800,
+) -> DataFrame:
+    """Cohort retention matrix — the user-lifecycle analytics shape:
+    entities are grouped into signup cohorts by the time bucket of
+    their FIRST event, and each (cohort, age) cell counts the distinct
+    entities still active ``age`` buckets later, plus the retention
+    rate vs the cohort's age-0 size (age 0 is every entity's first
+    bucket by construction, so cohort_size ≥ 1 — never null).
+
+    All arithmetic is integer (microsecond buckets, count ratios with
+    one rounded integral div into micro-units).
+
+    Plan: ONE entity exchange computes first-bucket via a min window;
+    the (cohort, age) distinct-count agg reuses nothing heavier, and
+    the cohort-size attach is a window over the tiny retention matrix.
+
+    Returns (cohort_bucket, age, n_active, n_events, retained_micro)."""
+    bucket_us = int(bucket_s) * 1_000_000
+    us = ts_us(F.col(ts))
+    w_e = Window.partitionBy(entity)
+    base = df.select(F.col(entity), us.alias("__us")).withColumn(
+        "__b", (F.col("__us") - F.col("__us") % bucket_us) / bucket_us
+    ).withColumn("__b", F.col("__b").cast("long"))
+    with_cohort = base.withColumn("__c", F.min("__b").over(w_e))
+    cells = with_cohort.groupBy(
+        F.col("__c").alias("cohort_bucket"),
+        (F.col("__b") - F.col("__c")).cast("long").alias("age"),
+    ).agg(
+        F.countDistinct(entity).cast("long").alias("n_active"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_c = Window.partitionBy("cohort_bucket")
+    sized = cells.withColumn(
+        "__size", F.max(F.when(F.col("age") == 0, F.col("n_active"))).over(w_c)
+    )
+    return sized.select(
+        "cohort_bucket", "age", "n_active", "n_events",
+        F.expr(
+            "CAST((2 * CAST(n_active AS DECIMAL(38,0)) * 1000000 + __size)"
+            " div (2 * CAST(__size AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("retained_micro"),
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """RFM segmentation with QUARTILE codes — the campaign-targeting
+    segmentation: per entity, recency (µs since last activity, vs the
+    corpus max timestamp), frequency (event count) and monetary (µ-unit
+    value sum) each coded 1–4 by the corpus quartiles, then segments
+    counted.
+
+    Codes use exact interpolated quartile CUTPOINTS over int64
+    micro/µs-unit metrics (Spark's sort-based exact percentile with
+    map-side partials — quarters keep the interpolation g dyadic, the
+    robust_quantiles determinism argument, so cutpoints are
+    bit-identical across engines); code = 1 + Σ 1[metric > cut_i], a
+    strict-boundary rule both engines apply to the same integers.
+    Recency codes are REVERSED (lower recency = better = 4) per RFM
+    convention.
+
+    Scale note: this is the global-quantile formulation WITHOUT a
+    global NTILE window — no single-partition sort anywhere; the
+    cutpoint table is one broadcast row.
+
+    Returns (r_code, f_code, m_code, n_entities)."""
+    us = ts_us(F.col(ts))
+    per = df.groupBy(entity).agg(
+        F.max(us).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("__f"),
+        F.sum(F.floor(F.col(value) * 1_000_000 + F.lit(0.5)).cast("long"))
+        .cast("long").alias("__m"),
+    )
+    # the per-entity table feeds THREE consumers (reference timestamp,
+    # cutpoints, coding); localCheckpoint materializes it once so the
+    # raw event scan runs ONCE, not once per branch (the chunk_overlap
+    # eager-construction precedent) — |entities| rows, not |events|
+    per = per.localCheckpoint()
+    ref = per.agg(F.max("__last").alias("__ref"))
+    per = per.crossJoin(F.broadcast(ref)).withColumn(
+        "__r", (F.col("__ref") - F.col("__last")).cast("long")
+    )
+    q = [F.lit(0.25), F.lit(0.5), F.lit(0.75)]
+    cuts = per.agg(
+        F.percentile(F.col("__r"), F.array(*q)).alias("__cr"),
+        F.percentile(F.col("__f"), F.array(*q)).alias("__cf"),
+        F.percentile(F.col("__m"), F.array(*q)).alias("__cm"),
+    )
+    coded = per.crossJoin(F.broadcast(cuts))
+
+    def code(metric: str, cut: str):
+        c = F.lit(1)
+        for i in range(3):
+            c = c + F.when(F.col(metric) > F.col(cut)[i], 1).otherwise(0)
+        return c.cast("int")
+
+    return (
+        coded.select(
+            (F.lit(5) - code("__r", "__cr")).cast("int").alias("r_code"),
+            code("__f", "__cf").alias("f_code"),
+            code("__m", "__cm").alias("m_code"),
+        )
+        .groupBy("r_code", "f_code", "m_code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+    )

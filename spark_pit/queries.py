@@ -3673,6 +3673,92 @@ FROM rd GROUP BY event_type, n, median_nano
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (round 6): entities bucketed by
+    their FIRST event week; per (cohort, age) the distinct actives +
+    retention vs the age-0 cohort size — integer microsecond buckets,
+    one rounded integral div."""
+    from spark_pit.operators.windows import cohort_retention
+
+    return cohort_retention(
+        _ev(spark, sf_dir), "user_id", "ts", bucket_s=604_800
+    )
+
+
+Q_COHORT_RETENTION_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - epoch_us(ts) % 604800000000)
+              / 604800000000 AS BIGINT) AS b
+  FROM events
+),
+wc AS (
+  SELECT user_id, b, min(b) OVER (PARTITION BY user_id) AS c FROM base
+),
+cells AS (
+  SELECT c AS cohort_bucket, CAST(b - c AS BIGINT) AS age,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM wc GROUP BY cohort_bucket, age
+),
+sized AS (
+  SELECT *,
+         max(CASE WHEN age = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_bucket) AS sz
+  FROM cells
+)
+SELECT cohort_bucket, age, n_active, n_events,
+       CAST((2 * CAST(n_active AS HUGEINT) * 1000000 + sz)
+            // (2 * CAST(sz AS HUGEINT)) AS BIGINT) AS retained_micro
+FROM sized
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with quartile codes (round 6): global-quantile
+    formulation WITHOUT a global NTILE window — exact percentile
+    cutpoints (quarters keep the interpolation dyadic-exact) broadcast
+    onto the per-entity metrics; strict-boundary coding on integers."""
+    from spark_pit.operators.windows import rfm_segments
+
+    return rfm_segments(_ev(spark, sf_dir), "user_id", "ts", "value")
+
+
+Q_RFM_SEGMENTS_SQL = """
+WITH per AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS m
+  FROM events GROUP BY user_id
+),
+ref AS (SELECT max(last_us) AS r FROM per),
+pr AS (
+  SELECT p.*, CAST(ref.r - p.last_us AS BIGINT) AS rec FROM per p, ref
+),
+cuts AS (
+  SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS cr,
+         quantile_cont(f, [0.25, 0.5, 0.75]) AS cf,
+         quantile_cont(m, [0.25, 0.5, 0.75]) AS cm
+  FROM pr
+),
+coded AS (
+  SELECT CAST(5 - (1 + CASE WHEN rec > cr[1] THEN 1 ELSE 0 END
+                     + CASE WHEN rec > cr[2] THEN 1 ELSE 0 END
+                     + CASE WHEN rec > cr[3] THEN 1 ELSE 0 END)
+         AS INTEGER) AS r_code,
+         CAST(1 + CASE WHEN f > cf[1] THEN 1 ELSE 0 END
+                + CASE WHEN f > cf[2] THEN 1 ELSE 0 END
+                + CASE WHEN f > cf[3] THEN 1 ELSE 0 END AS INTEGER) AS f_code,
+         CAST(1 + CASE WHEN m > cm[1] THEN 1 ELSE 0 END
+                + CASE WHEN m > cm[2] THEN 1 ELSE 0 END
+                + CASE WHEN m > cm[3] THEN 1 ELSE 0 END AS INTEGER) AS m_code
+  FROM pr, cuts
+)
+SELECT r_code, f_code, m_code, CAST(count(*) AS BIGINT) AS n_entities
+FROM coded GROUP BY r_code, f_code, m_code
+"""
+
+
 def q_streaming_drift_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eighth streaming DRIVER-GATE row (round 6): the drift gate as a
     CONTINUOUS monitor. A built-in streaming aggregation maintains the
@@ -6736,6 +6822,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_profile": q_data_profile,
     "streaming_drift_parity": q_streaming_drift_parity,
     "mad_robust_scale": q_mad,
+    "cohort_retention": q_cohort_retention,
+    "rfm_segments": q_rfm_segments,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -6935,6 +7023,8 @@ ORACLES: dict[str, str] = {
     "data_profile": Q_DATA_PROFILE_SQL,
     "streaming_drift_parity": Q_STREAMING_DRIFT_PARITY_SQL,
     "mad_robust_scale": Q_MAD_SQL,
+    "cohort_retention": Q_COHORT_RETENTION_SQL,
+    "rfm_segments": Q_RFM_SEGMENTS_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -7195,6 +7285,8 @@ GATE_ORDER: list[str] = [
     "data_profile",
     "streaming_drift_parity",
     "mad_robust_scale",
+    "cohort_retention",
+    "rfm_segments",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",
