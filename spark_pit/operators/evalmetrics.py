@@ -51,6 +51,11 @@ slice) at any cardinality:
   recall@k and reciprocal rank per query group, exact rationals under
   the engine-portable (score desc, item asc) total ranking, one
   window + one agg on a single exchange.
+- ``ab_test_stats`` — the experimentation readout: per experiment,
+  both arms' exact counts, the conversion-rate lift in micro-units
+  (sign-safe integral rounding) and the pooled two-proportion z
+  statistic (an explicitly-parenthesized IEEE double expression both
+  engines evaluate identically from the same exact integers).
 """
 
 from __future__ import annotations
@@ -688,4 +693,69 @@ def brier_ece_by_group(
             "CAST((2 * CAST(__dev AS DECIMAL(38,0)) + CAST(n AS DECIMAL(38,0)))"
             " div (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("ece_micro"),
+    )
+
+
+def ab_test_stats(
+    df: DataFrame,
+    exp_col: str,
+    arm_col: str,
+    conv_col: str,
+) -> DataFrame:
+    """Per-experiment two-proportion readout (the A/B dashboard row).
+
+    ONE shuffle: a conditional-sum aggregate on the experiment key
+    yields both arms' exact (n, conversions). From those integers:
+
+        lift_micro = round_half_up(10⁶·(x1/n1 − x0/n0))
+                   = floor_div(2·(x1·n0 − x0·n1)·10⁶ + n0·n1, 2·n0·n1)
+
+    — sign-safe (the numerator is negative when treatment loses;
+    floor-div is emulated via pmod so Spark's truncating ``div``
+    matches SQL's flooring ``//`` at any sign) — and the pooled
+    two-proportion z statistic
+
+        z = (x1/n1 − x0/n0) / sqrt(p·(1−p)·(1/n0 + 1/n1)),
+        p = (x0+x1)/(n0+n1)
+
+    evaluated as an explicitly-parenthesized IEEE double expression:
+    every operand is an exact int64 cast (correctly rounded), every
+    op (div, mul, sub, sqrt) is correctly rounded, and BOTH engines
+    evaluate the identical tree — so z_micro = floor(z·10⁶ + ½) is
+    bit-identical (the spearman/cramers_v convention). Null when an
+    arm is empty or the pooled rate is degenerate (se = 0).
+
+    Returns (experiment, n0, x0, n1, x1, lift_micro, z_micro)."""
+    arm = F.col(arm_col).cast("long")
+    y = F.col(conv_col).cast("long")
+    agg = df.groupBy(exp_col).agg(
+        F.sum(F.lit(1) - arm).cast("long").alias("n0"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0))).cast("long").alias("x0"),
+        F.sum(arm).cast("long").alias("n1"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0))).cast("long").alias("x1"),
+    )
+    lift = F.expr(
+        "CAST(((2 * (CAST(x1 AS DECIMAL(38,0)) * n0 - CAST(x0 AS DECIMAL(38,0)) * n1)"
+        " * 1000000 + CAST(n0 AS DECIMAL(38,0)) * n1)"
+        " - pmod(2 * (CAST(x1 AS DECIMAL(38,0)) * n0 - CAST(x0 AS DECIMAL(38,0)) * n1)"
+        " * 1000000 + CAST(n0 AS DECIMAL(38,0)) * n1,"
+        " 2 * CAST(n0 AS DECIMAL(38,0)) * n1))"
+        " div (2 * CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT)"
+    )
+    z = F.expr(
+        "floor(((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        " - (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)))"
+        " / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+        " * (1.0 - (CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))"
+        " * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))"
+        " * 1000000 + 0.5)"
+    ).cast("long")
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    se_pos = (F.col("x0") + F.col("x1") > 0) & (
+        F.col("x0") + F.col("x1") < F.col("n0") + F.col("n1")
+    )
+    return agg.select(
+        exp_col, "n0", "x0", "n1", "x1",
+        F.when(ok, lift).alias("lift_micro"),
+        F.when(ok & se_pos, z).alias("z_micro"),
     )

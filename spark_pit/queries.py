@@ -3587,7 +3587,11 @@ tot AS (
 SELECT event_type, fold, n_in_fold,
        CAST(cnt - n_in_fold AS BIGINT) AS oof_count,
        CASE WHEN cnt - n_in_fold > 0 THEN
-         CAST((2 * (CAST(sm AS HUGEINT) - s) + (cnt - n_in_fold))
+         CAST(((2 * (CAST(sm AS HUGEINT) - s) + (cnt - n_in_fold))
+               - ((((2 * (CAST(sm AS HUGEINT) - s) + (cnt - n_in_fold))
+                    % (2 * (CAST(cnt AS HUGEINT) - n_in_fold)))
+                   + (2 * (CAST(cnt AS HUGEINT) - n_in_fold)))
+                  % (2 * (CAST(cnt AS HUGEINT) - n_in_fold))))
               // (2 * (CAST(cnt AS HUGEINT) - n_in_fold)) AS BIGINT)
        END AS oof_mean_micro
 FROM tot
@@ -3756,6 +3760,59 @@ coded AS (
 )
 SELECT r_code, f_code, m_code, CAST(count(*) AS BIGINT) AS n_entities
 FROM coded GROUP BY r_code, f_code, m_code
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout per experiment (round 6): exact arm
+    counts from one conditional-sum aggregate, sign-safe micro-unit
+    lift, and the pooled z statistic as an explicitly-parenthesized
+    IEEE double tree both engines evaluate identically."""
+    from spark_pit.operators.evalmetrics import ab_test_stats
+
+    base = _ev(spark, sf_dir).select(
+        F.col("event_type").alias("experiment"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("event_id") % 7 == 0).cast("int").alias("conv"),
+    )
+    return ab_test_stats(base, "experiment", "arm", "conv")
+
+
+Q_AB_TEST_SQL = """
+WITH base AS (
+  SELECT event_type AS experiment,
+         CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(event_id % 7 = 0 AS BIGINT) AS conv
+  FROM events
+),
+agg AS (
+  SELECT experiment,
+         CAST(sum(1 - arm) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+         CAST(sum(arm) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+  FROM base GROUP BY experiment
+)
+SELECT experiment, n0, x0, n1, x1,
+       CASE WHEN n0 > 0 AND n1 > 0 THEN
+         CAST(((2 * (CAST(x1 AS HUGEINT) * n0 - CAST(x0 AS HUGEINT) * n1)
+                * 1000000 + CAST(n0 AS HUGEINT) * n1)
+               - ((((2 * (CAST(x1 AS HUGEINT) * n0 - CAST(x0 AS HUGEINT) * n1)
+                     * 1000000 + CAST(n0 AS HUGEINT) * n1)
+                    % (2 * CAST(n0 AS HUGEINT) * n1))
+                   + (2 * CAST(n0 AS HUGEINT) * n1))
+                  % (2 * CAST(n0 AS HUGEINT) * n1)))
+              // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT)
+       END AS lift_micro,
+       CASE WHEN n0 > 0 AND n1 > 0 AND x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+         CAST(floor(((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                      - (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+              / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                     * (1.0 - (CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+                     * ((1.0 / CAST(n0 AS DOUBLE)) + (1.0 / CAST(n1 AS DOUBLE))))
+              * 1000000 + 0.5) AS BIGINT)
+       END AS z_micro
+FROM agg
 """
 
 
@@ -6824,6 +6881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_robust_scale": q_mad,
     "cohort_retention": q_cohort_retention,
     "rfm_segments": q_rfm_segments,
+    "ab_test": q_ab_test,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -7025,6 +7083,7 @@ ORACLES: dict[str, str] = {
     "mad_robust_scale": Q_MAD_SQL,
     "cohort_retention": Q_COHORT_RETENTION_SQL,
     "rfm_segments": Q_RFM_SEGMENTS_SQL,
+    "ab_test": Q_AB_TEST_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -7287,6 +7346,7 @@ GATE_ORDER: list[str] = [
     "mad_robust_scale",
     "cohort_retention",
     "rfm_segments",
+    "ab_test",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

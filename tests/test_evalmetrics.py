@@ -482,3 +482,41 @@ def test_retrieval_rr_zero_when_first_hit_outside_k(spark):
     out = retrieval_at_k(df, "g", "score", "rel", "item", k=10).collect()[0]
     assert out["rr_micro"] == 0 and out["hits_at_k"] == 0
     assert out["recall_micro"] == 0 and out["n_rel"] == 1
+
+
+def test_ab_test_matches_reference_including_negative_lift(spark):
+    import math
+
+    from spark_pit.operators.evalmetrics import ab_test_stats
+
+    def ref(n0, x0, n1, x1):
+        num = 2 * (x1 * n0 - x0 * n1) * 10**6 + n0 * n1
+        den = 2 * n0 * n1
+        lift = (num - ((num % den + den) % den)) // den  # true floor div
+        if 0 < x0 + x1 < n0 + n1:
+            p = (x0 + x1) / (n0 + n1)
+            z = (x1 / n1 - x0 / n0) / math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+            zm = math.floor(z * 10**6 + 0.5)
+        else:
+            zm = None
+        return lift, zm
+
+    cases = {
+        "win":  (100, 10, 100, 20),   # treatment wins
+        "lose": (80, 24, 120, 18),    # NEGATIVE lift
+        "flat": (50, 5, 50, 5),
+        "allconv": (10, 10, 10, 10),  # degenerate pooled rate -> z null
+    }
+    rows = []
+    for g, (n0, x0, n1, x1) in cases.items():
+        rows += [(g, 0, 1)] * x0 + [(g, 0, 0)] * (n0 - x0)
+        rows += [(g, 1, 1)] * x1 + [(g, 1, 0)] * (n1 - x1)
+    df = spark.createDataFrame(rows, "g string, arm int, conv int")
+    got = {
+        r["g"]: (r["n0"], r["x0"], r["n1"], r["x1"], r["lift_micro"], r["z_micro"])
+        for r in ab_test_stats(df, "g", "arm", "conv").collect()
+    }
+    for g, (n0, x0, n1, x1) in cases.items():
+        lift, zm = ref(n0, x0, n1, x1)
+        assert got[g] == (n0, x0, n1, x1, lift, zm), g
+    assert got["lose"][4] < 0  # the sign-safe branch really exercised

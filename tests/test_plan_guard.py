@@ -114,6 +114,8 @@ EXPECTED: dict[str, tuple] = {
     # the iterative ops); the nlj are the one-row ref/cutpoint broadcast
     # cross joins — the documented tiny-literal class
     "rfm_segments": (8, 0, 0, 6, 0, 0, 0, []),
+    # one conditional-sum aggregate; lift/z from the k-row result
+    "ab_test": (2, 0, 0, 0, 0, 0, 0, [["event_id", "event_type", "user_id"]]),
 }
 
 
