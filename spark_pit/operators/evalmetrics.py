@@ -759,3 +759,51 @@ def ab_test_stats(
         F.when(ok, lift).alias("lift_micro"),
         F.when(ok & se_pos, z).alias("z_micro"),
     )
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-group confusion matrix at a decision threshold (score ≥ t →
+    positive), with precision / recall / F1 in int64 micro-units — the
+    fixed-operating-point companion to the threshold-free AUC/PR-AUC.
+
+    All counts come from ONE conditional-sum aggregate; the three
+    ratios are exact rationals with one round-half-up integral div each
+    (F1 = 2·tp / (2·tp + fp + fn) — computed from the integer counts,
+    never from the rounded precision/recall). Null where the
+    denominator is empty (no predicted positives / no actual positives
+    / no tp at all for F1 when tp+fp+fn = 0).
+
+    Returns (group, tp, fp, fn, tn, precision_micro, recall_micro,
+    f1_micro)."""
+    pred = (F.col(score_col) >= F.lit(threshold)).cast("long")
+    y = F.col(label_col).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.sum(pred * y).cast("long").alias("tp"),
+        F.sum(pred * (1 - y)).cast("long").alias("fp"),
+        F.sum((1 - pred) * y).cast("long").alias("fn"),
+        F.sum((1 - pred) * (1 - y)).cast("long").alias("tn"),
+    )
+
+    def ratio(num: str, den: str):
+        return F.expr(
+            f"CAST((2 * CAST({num} AS DECIMAL(38,0)) * 1000000 + ({den}))"
+            f" div (2 * CAST(({den}) AS DECIMAL(38,0))) AS BIGINT)"
+        )
+
+    return agg.select(
+        group_col, "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") > 0, ratio("tp", "tp + fp"))
+        .alias("precision_micro"),
+        F.when(F.col("tp") + F.col("fn") > 0, ratio("tp", "tp + fn"))
+        .alias("recall_micro"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            ratio("2 * tp", "2 * tp + fp + fn"),
+        ).alias("f1_micro"),
+    )

@@ -3816,6 +3816,55 @@ FROM agg
 """
 
 
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group confusion matrix + precision/recall/F1 at threshold 0.5
+    (round 6): one conditional-sum aggregate, exact rationals with one
+    rounded integral div each — the fixed-operating-point companion to
+    the threshold-free AUC/PR-AUC rows."""
+    from spark_pit.operators.evalmetrics import confusion_at_threshold
+
+    scored = _ev(spark, sf_dir).select(
+        "event_type",
+        ((F.col("event_id") % 997) / F.lit(997.0)).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return confusion_at_threshold(
+        scored, "event_type", "score", "label", threshold=0.5
+    )
+
+
+Q_CONFUSION_MATRIX_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         CAST((event_id % 997) / 997.0 >= 0.5 AS BIGINT) AS pred,
+         CAST(event_id % 3 = 0 AS BIGINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(pred * y) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+         CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+  FROM scored GROUP BY event_type
+)
+SELECT event_type, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN
+         CAST((2 * CAST(tp AS HUGEINT) * 1000000 + (tp + fp))
+              // (2 * CAST(tp + fp AS HUGEINT)) AS BIGINT)
+       END AS precision_micro,
+       CASE WHEN tp + fn > 0 THEN
+         CAST((2 * CAST(tp AS HUGEINT) * 1000000 + (tp + fn))
+              // (2 * CAST(tp + fn AS HUGEINT)) AS BIGINT)
+       END AS recall_micro,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN
+         CAST((2 * CAST(2 * tp AS HUGEINT) * 1000000 + (2 * tp + fp + fn))
+              // (2 * CAST(2 * tp + fp + fn AS HUGEINT)) AS BIGINT)
+       END AS f1_micro
+FROM agg
+"""
+
+
 def q_streaming_drift_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eighth streaming DRIVER-GATE row (round 6): the drift gate as a
     CONTINUOUS monitor. A built-in streaming aggregation maintains the
@@ -6882,6 +6931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "rfm_segments": q_rfm_segments,
     "ab_test": q_ab_test,
+    "confusion_matrix": q_confusion_matrix,
     "time_rollup": q_time_rollup,
     "funnel_steps": q_funnel_steps,
     "scd2_history": q_scd2_history,
@@ -7084,6 +7134,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": Q_COHORT_RETENTION_SQL,
     "rfm_segments": Q_RFM_SEGMENTS_SQL,
     "ab_test": Q_AB_TEST_SQL,
+    "confusion_matrix": Q_CONFUSION_MATRIX_SQL,
     "time_rollup": Q_TIME_ROLLUP_SQL,
     "funnel_steps": Q_FUNNEL_STEPS_SQL,
     "scd2_history": Q_SCD2_HISTORY_SQL,
@@ -7347,6 +7398,7 @@ GATE_ORDER: list[str] = [
     "cohort_retention",
     "rfm_segments",
     "ab_test",
+    "confusion_matrix",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

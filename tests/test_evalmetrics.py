@@ -520,3 +520,29 @@ def test_ab_test_matches_reference_including_negative_lift(spark):
         lift, zm = ref(n0, x0, n1, x1)
         assert got[g] == (n0, x0, n1, x1, lift, zm), g
     assert got["lose"][4] < 0  # the sign-safe branch really exercised
+
+
+def test_confusion_matrix_matches_reference(spark):
+    from spark_pit.operators.evalmetrics import confusion_at_threshold
+
+    rng = np.random.default_rng(61)
+    scores = [float(s) for s in np.round(rng.uniform(0, 1, 120), 2)]
+    labels = [int(y) for y in (rng.uniform(0, 1, 120) < 0.3)]
+    rows = [("g", s, y) for s, y in zip(scores, labels)]
+    rows += [("empty_pos", 0.9, 0), ("empty_pos", 0.1, 0)]  # no actual pos
+    rows += [("no_pred", 0.1, 1), ("no_pred", 0.2, 0)]      # no predicted pos
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+    got = {r["g"]: r for r in confusion_at_threshold(df, "g", "score", "label", 0.5).collect()}
+
+    tp = sum(1 for s, y in zip(scores, labels) if s >= 0.5 and y)
+    fp = sum(1 for s, y in zip(scores, labels) if s >= 0.5 and not y)
+    fn = sum(1 for s, y in zip(scores, labels) if s < 0.5 and y)
+    tn = 120 - tp - fp - fn
+    r = got["g"]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+    assert r["precision_micro"] == (2 * tp * 10**6 + tp + fp) // (2 * (tp + fp))
+    assert r["recall_micro"] == (2 * tp * 10**6 + tp + fn) // (2 * (tp + fn))
+    assert r["f1_micro"] == (4 * tp * 10**6 + 2 * tp + fp + fn) // (2 * (2 * tp + fp + fn))
+    assert got["empty_pos"]["recall_micro"] is None
+    assert got["empty_pos"]["f1_micro"] == 0  # fp > 0 so denominator > 0
+    assert got["no_pred"]["precision_micro"] is None

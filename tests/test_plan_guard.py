@@ -116,6 +116,7 @@ EXPECTED: dict[str, tuple] = {
     "rfm_segments": (8, 0, 0, 6, 0, 0, 0, []),
     # one conditional-sum aggregate; lift/z from the k-row result
     "ab_test": (2, 0, 0, 0, 0, 0, 0, [["event_id", "event_type", "user_id"]]),
+    "confusion_matrix": (2, 0, 0, 0, 0, 0, 0, [["event_id", "event_type"]]),
 }
 
 
