@@ -17,7 +17,7 @@ bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_pit.operators.textstats import HASH_MOD, tok_hash, tokens
@@ -57,16 +57,41 @@ def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _minhash_wide(df: DataFrame, id_col: str, text_col: str, n_hashes: int) -> DataFrame:
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, carry_toks: bool = False
+) -> DataFrame:
     """One groupBy(id) with n_hashes min-aggregate columns — all signature
     minima in a SINGLE partial-aggregated shuffle with NO row blowup (the
     seed-crossJoin formulation multiplies the token rows 16× before its
-    shuffle; at 10⁹ docs that is 16× shuffle I/O for the same result)."""
-    toks = _distinct_tokens(df, id_col, text_col).withColumn("th", tok_hash(F.col("tok")))
+    shuffle; at 10⁹ docs that is 16× shuffle I/O for the same result).
+
+    Round-7 note: per-row higher-order-function formulations (aggregate/
+    zip_with fold, or 16× array_min(transform)) were measured at the 50k-doc
+    tier and LOST to this explode+codegen-agg shape (4.1 s / 2.3 s vs
+    2.0 s) — HOFs evaluate interpreted per element. The round-7 win was
+    instead to stop RE-evaluating this subtree: the star-candidate stage
+    now uses a window min (one evaluation) and the Jaccard verify joins
+    token arrays (zero evaluations), so one run pays this exactly once."""
+    # fan out a narrow scan before the explode: a small corpus arrives as
+    # one parquet split, which would serialize the whole tokenize+md5+
+    # partial-agg pipeline onto a single core. Only fires when the scan
+    # has fewer splits than the cluster has slots — a real 100 TB corpus
+    # has thousands of splits and skips this entirely (guide §2.5 input
+    # skew: "repartition immediately after the read").
+    par = df.sparkSession.sparkContext.defaultParallelism
+    slim = df.select(F.col(id_col), F.col(text_col))
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    toks = _distinct_tokens(slim, id_col, text_col).withColumn("th", tok_hash(F.col("tok")))
     aggs = [
         F.min((F.lit(a) * F.col("th") + F.lit(b)) % HASH_MOD).alias(f"__m{i}")
         for i, (a, b) in enumerate(_minhash_seeds(n_hashes))
     ]
+    if carry_toks:
+        # the distinct-token set rides the SAME aggregation shuffle so the
+        # star verify never has to join the corpus again (element order is
+        # nondeterministic; consumers only count set intersections)
+        aggs.append(F.collect_set("tok").alias("__toks"))
     return toks.groupBy(id_col).agg(*aggs)
 
 
@@ -119,12 +144,15 @@ def _band_join(banded: DataFrame, id_col: str) -> DataFrame:
 def minhash_band_sigs(
     df: DataFrame, id_col: str, text_col: str,
     n_hashes: int = 16, rows_per_band: int = 4,
+    carry_toks: bool = False,
 ) -> DataFrame:
     """(id, band, band_sig) straight from the wide aggregation — the
     banding is a pure column concat + stack, no collect_list regroup.
     The fast path minhash_lsh_dedup uses (2 shuffles total to candidates:
-    the token agg and the band equi-join)."""
-    wide = _minhash_wide(df, id_col, text_col, n_hashes)
+    the token agg and the band equi-join). With ``carry_toks`` the
+    distinct-token array column ``__toks`` is carried along for join-free
+    downstream verification."""
+    wide = _minhash_wide(df, id_col, text_col, n_hashes, carry_toks)
     bands = n_hashes // rows_per_band
     band_cols = [
         F.concat_ws(
@@ -136,31 +164,49 @@ def minhash_band_sigs(
     stack = "stack({n}, {args}) as (band, band_sig)".format(
         n=bands, args=", ".join(f"{b}, __band{b}" for b in range(bands))
     )
-    return wide.select(id_col, *band_cols).select(id_col, F.expr(stack))
+    extra = ["__toks"] if carry_toks else []
+    return wide.select(id_col, *band_cols, *extra).select(
+        id_col, *extra, F.expr(stack)
+    )
 
 
 def jaccard_for_pairs(
     pairs: DataFrame, df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Exact token-set Jaccard for a given candidate pair list."""
-    toks = _distinct_tokens(df, id_col, text_col)
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
-    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        pairs.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    """Exact token-set Jaccard for a given candidate pair list.
+
+    Round-7 shape (guide §2.3): two equi-joins attaching each side's
+    DISTINCT-token array, intersection/union sizes via `array_intersect`
+    in codegen. The former formulation exploded the full token table and
+    joined on (id, tok) rows — four extra shuffles/broadcast replays of
+    the tokenizer (the intersection join, plus TWO independent `sizes`
+    aggregations) per run, each re-scanning the corpus. Identical output:
+    both sides are distinct sets, so join-match counting and
+    array_intersect size are the same integer; pairs with zero overlap get
+    jaccard 0 here and were dropped by the old inner token join — every
+    caller filters on jaccard >= threshold > 0, so the emitted set is
+    unchanged (oracle-verified)."""
+    base = df.where(F.col(text_col).isNotNull())
+    da = base.select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(tokens(F.col(text_col))).alias("__ta"),
     )
+    db = base.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(tokens(F.col(text_col))).alias("__tb"),
+    )
+    ni = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        # the old (id, tok) inner join emitted nothing for zero-overlap
+        # pairs; keep that contract exactly
+        .where(ni > 0)
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+                ni / (F.size("__ta") + F.size("__tb") - ni), 6
             ).alias("jaccard"),
         )
     )
@@ -249,16 +295,8 @@ def minhash_dedup_mark(
     similarity to the canonical is below threshold stay unmarked (one-hop
     star semantics, the standard trade for linear candidates; full clusters
     = connected_components over the verified pairs)."""
-    banded = minhash_band_sigs(df, id_col, text_col, n_hashes, rows_per_band)
-    gmin = banded.groupBy("band", "band_sig").agg(F.min(id_col).alias("id_a"))
-    cand = (
-        banded.join(gmin, ["band", "band_sig"])
-        .where(F.col(id_col) > F.col("id_a"))
-        .select("id_a", F.col(id_col).alias("id_b"))
-        .distinct()
-    )
-    verified = jaccard_for_pairs(cand, df, id_col, text_col).where(
-        F.col("jaccard") >= threshold
+    verified = _star_verified_pairs(
+        df, id_col, text_col, threshold, n_hashes, rows_per_band
     )
     dup = verified.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
     return (
@@ -269,6 +307,48 @@ def minhash_dedup_mark(
             F.col("dup_of").isNotNull().alias("is_dup"),
             "dup_of",
         )
+    )
+
+
+def _star_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n_hashes: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Jaccard-verified star edges (bucket-min id_a → member id_b), the
+    shared candidate+verify stage of minhash_dedup_mark / dedup_clusters.
+
+    Round-7 shape (guide §2.3/§2.4): the signature frame carries each
+    doc's distinct-token array, the bucket canonical comes from a
+    whole-partition window ``min(struct(id, toks))`` — ONE exchange on
+    (band, band_sig) — and the exact Jaccard verify is a pure row
+    expression (``array_intersect`` against the canonical's carried
+    array). The former pipeline was: groupBy for the bucket min, a
+    re-join of the signature frame against it (replaying the whole
+    tokenize+md5+agg subtree on the broadcast side), a pair ``distinct``
+    exchange, then THREE more corpus joins for the token-row Jaccard —
+    six token-pipeline replays and ~7 exchanges per run, all gone. A pair
+    colliding in k bands is emitted up to k times (no distinct here);
+    both consumers are duplicate-insensitive (min-aggregate / connected
+    components), and dedup_clusters dedups its edge list in one tiny
+    exchange over verified survivors only."""
+    banded = minhash_band_sigs(
+        df, id_col, text_col, n_hashes, rows_per_band, carry_toks=True
+    )
+    wmin = Window.partitionBy("band", "band_sig")
+    mn = F.min(F.struct(F.col(id_col).alias("i"), F.col("__toks").alias("t"))).over(wmin)
+    ni = F.size(F.array_intersect(F.col("__toks"), F.col("__mn")["t"]))
+    jac = F.round(ni / (F.size("__toks") + F.size(F.col("__mn")["t"]) - ni), 6)
+    return (
+        banded.withColumn("__mn", mn)
+        .where(F.col(id_col) > F.col("__mn")["i"])
+        # ni > 0 keeps the historical inner-token-join contract (pairs
+        # with no common token never surface, whatever the threshold)
+        .where((ni > 0) & (jac >= F.lit(threshold)))
+        .select(F.col("__mn")["i"].alias("id_a"), F.col(id_col).alias("id_b"))
     )
 
 
@@ -459,17 +539,11 @@ def dedup_clusters(
     from spark_pit.operators.graph import connected_components
 
     _check_banding(n_hashes, bands, rows_per_band)
-    banded = minhash_band_sigs(df, id_col, text_col, n_hashes, rows_per_band)
-    gmin = banded.groupBy("band", "band_sig").agg(F.min(id_col).alias("id_a"))
-    cand = (
-        banded.join(gmin, ["band", "band_sig"])
-        .where(F.col(id_col) > F.col("id_a"))
-        .select("id_a", F.col(id_col).alias("id_b"))
-        .distinct()
-    )
-    pairs = jaccard_for_pairs(cand, df, id_col, text_col).where(
-        F.col("jaccard") >= threshold
-    )
+    # shared join-free candidate+verify stage (see _star_verified_pairs);
+    # dedup the ≤bands-per-pair emissions before the iterative CC joins
+    pairs = _star_verified_pairs(
+        df, id_col, text_col, threshold, n_hashes, rows_per_band
+    ).distinct()
     edges = pairs.select(
         F.lit(0).alias("__g"), F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )

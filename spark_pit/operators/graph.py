@@ -471,27 +471,39 @@ def connected_components(
     reuse helps but still re-walks the plan and keeps the lineage growing
     with the loop).
     """
-    und = _undirected(edges, entity).localCheckpoint()
-    lab = und.select(entity, "n").distinct().withColumn("c", F.col("n"))
-    for _ in range(max_iter):
-        nb = (
-            und.join(lab.select(entity, F.col("n").alias("m"), F.col("c").alias("cm")),
-                     [entity, "m"])
-            .groupBy(entity, "n")
-            .agg(F.min("cm").alias("cnb"))
-        )
+    # round-7 iteration shape: the adjacency gets SELF-LOOPS once, so each
+    # propagation round is one join + one min-aggregate — min over
+    # neighbors-including-self IS least(own, neighborhood min), which
+    # removes the former per-round left-join of new labels against old.
+    # The self-loop row also delivers the node's OWN previous label
+    # through the same join, so the convergence flag (labels are
+    # monotonically non-increasing: changed ⟺ new < old) rides the same
+    # aggregate — the former join-compare-count job per round is gone and
+    # the check is one limit(1) scan of the checkpointed frame.
+    und = _undirected(edges, entity)
+    nodes = und.select(entity, "n").distinct()
+    und2 = und.unionByName(nodes.withColumn("m", F.col("n"))).localCheckpoint()
+    # seed = one aggregation: min over neighbors-including-self
+    lab = (
+        und2.groupBy(entity, "n").agg(F.min("m").alias("c")).localCheckpoint()
+    )
+    # seed counts as round 1 → max_iter - 1 join rounds keeps the total
+    # propagation bound identical to the pre-round-7 loop
+    for _ in range(max_iter - 1):
         nxt = (
-            lab.join(nb, [entity, "n"], "left")
-            .select(entity, "n", F.least("c", F.coalesce("cnb", "c")).alias("c"))
+            und2.join(
+                lab.select(entity, F.col("n").alias("m"), F.col("c").alias("cm")),
+                [entity, "m"],
+            )
+            .groupBy(entity, "n")
+            .agg(
+                F.min("cm").alias("c"),
+                F.min(F.when(F.col("m") == F.col("n"), F.col("cm"))).alias("__c_old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            nxt.join(lab.select(entity, "n", F.col("c").alias("co")), [entity, "n"])
-            .where(F.col("c") != F.col("co"))
-            .limit(1)
-            .count()
-        )
-        lab = nxt
+        changed = nxt.where(F.col("c") != F.col("__c_old")).limit(1).count()
+        lab = nxt.select(entity, "n", "c")
         if changed == 0:
             break
     return lab.select(entity, F.col("n").alias("node"), F.col("c").alias("component"))

@@ -70,8 +70,11 @@ EXPECTED: dict[str, tuple] = {
     "auc_by_group": (2, 0, 0, 0, 0, 0, 0, [["event_id", "event_type"]]),
     "pr_auc_by_group": (4, 0, 0, 0, 0, 0, 0, [["event_id", "event_type"]]),
     "token_composition": (4, 0, 0, 0, 0, 0, 0, [["event_type", "user_id"]]),
-    # LSH-bucketed near-dup: candidates via broadcast bucket join, nlj=0
-    "embedding_neardup": (6, 6, 2, 0, 2, 0, 4, [["vec_id"], EMB, EMB, EMB, EMB]),
+    # LSH-bucketed near-dup (round-7 rework): ONE (band,sig) group shuffle
+    # into the per-bucket NumPy kernel + the tiny dup-min join-back — the
+    # former candidate-pair self-join (quadratic rows through a distinct
+    # exchange) is gone; 2 Arrow stages (sig map + bucket kernel), nlj=0
+    "embedding_neardup": (4, 2, 0, 0, 0, 0, 4, [["vec_id"], EMB]),
     # zero-shuffle scan-side projections
     "augment_plan": (0, 0, 0, 0, 0, 0, 0, [["doc_id"]]),
     "opf_multihot": (0, 0, 0, 0, 0, 0, 0, [["doc_id", "text"]]),
