@@ -195,6 +195,13 @@ def pit_features_bucketed(
     pt_fields = "".join(
         f", {c} {events.schema[c].dataType.simpleString()}" for c in pt
     )
+    # the kernel emits the window composition as V separate double columns
+    # (zero-copy columnar Arrow); the caller-visible array<double> is
+    # assembled JVM-side in the final projection. A pandas object column
+    # of per-row ndarrays converts to an Arrow list per ELEMENT — at 64M
+    # rows that conversion dominated the kernel stage (guide §4.1: control
+    # how efficiently columns cross the boundary).
+    wc_fields = ", ".join(f"__wc{i} double" for i in range(V))
     out_schema = (
         f"{entity} {ent_type}, {ts} timestamp_ntz, {tb_field}"
         f"{numeric_col} double, {token_col} string, "
@@ -202,7 +209,7 @@ def pit_features_bucketed(
         f"lag1_{numeric_col} double, lead1_{numeric_col} double, "
         f"session_id long, session_pos long, "
         f"{numeric_col}_bf double, roll_mean_{numeric_col} double, "
-        f"wc array<double>" + pt_fields
+        f"{wc_fields}" + pt_fields
     )
     gap_us = gap_seconds * 1_000_000
 
@@ -321,7 +328,8 @@ def pit_features_bucketed(
         onehot[idx_arr[valid], codes[valid]] = 1
         ocs = np.concatenate([np.zeros((1, V)), np.cumsum(onehot, axis=0)])
         wcm = (ocs[idx_arr + 1] - ocs[w_s]) / (idx_arr + 1 - w_s)[:, None]
-        out["wc"] = list(wcm)
+        for i in range(V):
+            out[f"__wc{i}"] = wcm[:, i]
         for c in pt:
             out[c] = ev[c]
         return out
@@ -331,7 +339,16 @@ def pit_features_bucketed(
     sn = snapshots.select(
         F.col(entity).alias("__se"), F.col(snap_ts), F.col(snap_id)
     ).withColumn("__b", F.pmod(F.xxhash64(F.col("__se")), F.lit(num_buckets)).cast("int"))
-    return ev.groupBy("__b").cogroup(sn.groupBy("__b")).applyInPandas(kern, out_schema)
+    fused = ev.groupBy("__b").cogroup(sn.groupBy("__b")).applyInPandas(kern, out_schema)
+    # reassemble the array<double> contract from the V flat kernel columns
+    head = [entity, ts, *tb_ded, numeric_col, token_col,
+            "asof_snapshot_id", "asof_age_sec",
+            f"lag1_{numeric_col}", f"lead1_{numeric_col}",
+            "session_id", "session_pos",
+            f"{numeric_col}_bf", f"roll_mean_{numeric_col}"]
+    return fused.select(
+        *head, F.array(*[F.col(f"__wc{i}") for i in range(V)]).alias("wc"), *pt
+    )
 
 
 def pit_features_declarative(
