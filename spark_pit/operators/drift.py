@@ -214,6 +214,13 @@ def oof_target_encode(
     partial aggregation collapses the table to k rows per category;
     the category-total windows run on that reduced set.
 
+    Contract: ``target_col`` must be NON-NULL. Counts are over all rows
+    while the sum skips nulls, so a nullable target would bias oof means
+    toward zero — filter nulls upstream (the registry inputs are non-null
+    derivations; the frozen SQL oracle shares the all-rows denominator,
+    so the operator documents rather than silently rewrites the
+    contract).
+
     Returns (category, fold, n_in_fold, oof_count, oof_mean_micro)."""
     t_us = F.floor(F.col(target_col) * 1_000_000 + F.lit(0.5)).cast("long")
     with_fold = assign_group_fold(
@@ -263,6 +270,11 @@ def data_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     audit (analysis.sketch_vs_exact).
 
     Returns (col_name, n_rows, n_null, n_distinct)."""
+    bad = [c for c in cols if "'" in c or "`" in c]
+    if bad:
+        # names are interpolated into the stack() selectExpr below — a
+        # quote/backtick would break out of its literal (advice r6 fix)
+        raise ValueError(f"data_profile: column names may not contain quotes/backticks: {bad}")
     pairs = ", ".join(
         f"'{c}', CAST(`{c}` AS STRING)" for c in cols
     )

@@ -212,6 +212,12 @@ def ks_by_group(
     Plan: ONE data shuffle on (group, score); the threshold window and
     totals window share the group partitioning (no second exchange).
 
+    Contract: ``score_col`` must be NON-NULL (same hazard q_spearman
+    documents — the threshold window sorts ascending, and Spark orders
+    NULLS FIRST while DuckDB's ORDER BY defaults NULLS LAST, so nullable
+    scores would produce engine-divergent cumulative CDFs; registry
+    inputs are non-null derivations).
+
     Returns (group, n_pos, n_neg, ks_micro)."""
     thr = (
         df.select(

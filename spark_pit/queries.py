@@ -7218,23 +7218,63 @@ ORACLES: dict[str, str] = {
 }
 
 
-# Gate-window rotation (round 6): the driver certifies the FIRST 50 entries
-# of queries(); window = 3 never-certified/code-changed round-6 queries
-# (pr_auc_by_group new; negative_sample autosized B changes its output;
-# funnel_steps re-planned) + ALL 3 r02-era + ALL 44 r03-era certs —
-# oldest-certification-first exactly as the round-5 verdict asked. Union
-# coverage across CORRECTNESS_r01..r06 stays total. Rotate by editing this
-# list only — the QUERIES literal above is the registry, this is the window.
+# Gate-window rotation (round 7, per the round-6 verdict ask #1): the
+# driver certifies the FIRST 50 entries of queries(); window = the 19
+# round-6 post-freeze additions (never driver-certified) + every query
+# whose code changed after its last driver cert (r6 rewrites:
+# pit_salted/decayed_features/minhash seed fix; r7 optimization rebuilds:
+# embedding_neardup bucket kernel, minhash star family, connected
+# components, pit wc columns) + the six _whole_group streaming parity
+# twins + oldest-cert-first fill (r02/r03-era). Union coverage across
+# CORRECTNESS_r01..r07 stays total. Rotate by editing this list only —
+# the QUERIES literal above is the registry, this is the window.
 GATE_ORDER: list[str] = [
-    # round-6 window head: never-certified / code-changed this round
-    "pr_auc_by_group",
-    "negative_sample",
-    "funnel_steps",
-    # r02-era certs (oldest in the repo) — complete
+    # --- round-7 window head (50 = driver certification window) ---
+    # 1-19: the round-6 post-freeze additions, never driver-certified
+    "brier_ece",
+    "ks_statistic",
+    "ndcg_at_k",
+    "lift_deciles",
+    "tv_drift",
+    "group_kfold",
+    "quantile_binning",
+    "spearman_corr",
+    "chi2_independence",
+    "retrieval_at_k",
+    "gini_diversity",
+    "oof_target_encode",
+    "data_profile",
+    "streaming_drift_parity",
+    "mad_robust_scale",
+    "cohort_retention",
+    "rfm_segments",
+    "ab_test",
+    "confusion_matrix",
+    # 20-29: code-changed queries whose last driver cert predates the
+    # rewrite (r6: pit_salted/decayed_features/minhash seeds; r7: the
+    # optimization-round rebuilds of embedding_neardup, the minhash
+    # star family, connected_components, and the pit kernel)
+    "pit_salted",
+    "decayed_features",
+    "minhash_signatures",
+    "minhash_dedup_mark",
+    "dedup_clusters",
+    "embedding_neardup",
+    "minhash_lsh_dedup",
+    "connected_components",
+    "pit_fused",
+    "image_pit_checksums",
+    # 30-35: the six _whole_group-touched streaming parity twins
+    "streaming_decay_parity",
+    "streaming_session_parity",
+    "streaming_funnel_parity",
+    "streaming_scd2_parity",
+    "streaming_target_parity",
+    "streaming_asof_parity",
+    # 36-50: oldest-cert-first (r02-era, then r03-era)
     "transitions",
     "window_composition",
     "zscore",
-    # r03-era certs — complete; head+r02+r03 = the 50-query window
     "affinity_clusters",
     "agglomerative_fixture",
     "ann_lsh",
@@ -7247,6 +7287,8 @@ GATE_ORDER: list[str] = [
     "bpe_token_stats",
     "closeness_centrality",
     "cross_cov",
+    # 51+: remaining r03-era, then r04/r05-era oldest-first;
+    # r06-certified head trio near the end (freshest certs)
     "ctriad_minmax",
     "decode_stats_checksums",
     "embed_checksums",
@@ -7273,13 +7315,11 @@ GATE_ORDER: list[str] = [
     "shell_composition_3d",
     "simhash_neardup",
     "stratified_sample",
-    "streaming_asof_parity",
     "surface_depth",
     "topk_orders",
     "trigrams",
     "tsne_fixture",
     "zip_label_join",
-    # 51+: r04-era certs
     "aaindex_multi",
     "asof_join",
     "asof_join_forward",
@@ -7292,27 +7332,21 @@ GATE_ORDER: list[str] = [
     "chunk_overlap",
     "chunk_stats",
     "countmin_hotkeys",
-    "decayed_features",
     "decontaminate",
-    "dedup_clusters",
     "diverse_sample",
     "dup_ngram_stats",
     "dup_span_stats",
     "gmm_fixture",
     "half_exposure_3d",
     "horizon_dedup",
-    "image_pit_checksums",
     "ivf_topk_checksums",
     "leakage_safe_split",
-    "minhash_dedup_mark",
     "opf_multihot",
     "pack_documents",
     "pagerank",
     "patch_grid_checksums",
     "phash_clusters",
     "phash_neardup",
-    "pit_fused",
-    "pit_salted",
     "pq_fixture",
     "pq_topk",
     "psekraac_gap",
@@ -7321,8 +7355,6 @@ GATE_ORDER: list[str] = [
     "redact_pii",
     "robust_quantiles",
     "sketch_accuracy",
-    "streaming_decay_parity",
-    "streaming_session_parity",
     "surface_depth_3d",
     "target_encode",
     "temperature_resample",
@@ -7330,7 +7362,6 @@ GATE_ORDER: list[str] = [
     "unigram_surprisal",
     "winsorize_stats",
     "zorder_layout",
-    # r05-era certs (fresh last round)
     "asdc",
     "auc_by_group",
     "autocorr",
@@ -7338,7 +7369,6 @@ GATE_ORDER: list[str] = [
     "calibration_bins",
     "centroid_per_label",
     "channel_correlation",
-    "connected_components",
     "contact_graph_stats",
     "cosine_topk",
     "dbscan",
@@ -7348,7 +7378,6 @@ GATE_ORDER: list[str] = [
     "distribution",
     "doc_fingerprint",
     "eigen_centrality",
-    "embedding_neardup",
     "equal_length_stats",
     "graph_path_stats",
     "grouped_composition",
@@ -7359,8 +7388,6 @@ GATE_ORDER: list[str] = [
     "lang_id",
     "mcl_clusters",
     "mean_impute",
-    "minhash_lsh_dedup",
-    "minhash_signatures",
     "ngram_jaccard",
     "positional_onehot",
     "qso_order",
@@ -7371,34 +7398,14 @@ GATE_ORDER: list[str] = [
     "shell_composition",
     "simhash",
     "soc_number",
-    "streaming_funnel_parity",
-    "streaming_scd2_parity",
-    "streaming_target_parity",
     "stride_pairs",
     "text_quality",
     "time_rollup",
     "token_composition",
     "token_stats",
-    # round-6 late additions (post-window-freeze; lead the r7 window)
-    "brier_ece",
-    "ks_statistic",
-    "ndcg_at_k",
-    "lift_deciles",
-    "tv_drift",
-    "group_kfold",
-    "quantile_binning",
-    "spearman_corr",
-    "chi2_independence",
-    "retrieval_at_k",
-    "gini_diversity",
-    "oof_target_encode",
-    "data_profile",
-    "streaming_drift_parity",
-    "mad_robust_scale",
-    "cohort_retention",
-    "rfm_segments",
-    "ab_test",
-    "confusion_matrix",
+    "pr_auc_by_group",
+    "negative_sample",
+    "funnel_steps",
     # rows-only (no oracle; certified via value twins)
     "ann_mllib_lsh",
     "bisecting_kmeans",

@@ -234,6 +234,18 @@ def test_data_profile_counts(spark):
     }
 
 
+def test_data_profile_rejects_quoted_column_names(spark):
+    # names are interpolated into the stack() selectExpr — a quote or
+    # backtick would escape its literal (round-6 advice finding)
+    import pytest
+
+    from spark_pit.operators.drift import data_profile
+
+    df = spark.createDataFrame([("x",)], "`it's` string")
+    with pytest.raises(ValueError, match="quotes/backticks"):
+        data_profile(df, ["it's"])
+
+
 def test_mad_matches_reference_odd_and_even(spark):
     from spark_pit.operators.encode import mad_by_group
 
