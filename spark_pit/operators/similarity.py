@@ -355,18 +355,21 @@ def embedding_neardup(
     import pandas as pd
     from collections.abc import Iterator
 
-    dim = len(df.select(vec_col).first()[0])
     n_planes, bb, bands_n = bands * band_bits, band_bits, bands
     id_type = df.schema[id_col].dataType.simpleString()
     thr = float(threshold)
 
     def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = np.asarray(_hyperplanes(n_planes, dim, seed)).T  # d × B·k
+        # planes derive from (n_planes, dim, seed) only; dim is read off
+        # the first batch so the driver never runs a .first() probe job
+        planes = None
         pw = np.array([2**j for j in range(bb)], dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = np.asarray(_hyperplanes(n_planes, m.shape[1], seed)).T
             bits = (m @ planes > 0).reshape(len(m), bands_n, bb)
             sigs = (bits * pw).sum(axis=2).astype(np.int32)  # N × bands
             # carry the vector as flat float64 BYTES, not list<float>:
@@ -397,7 +400,7 @@ def embedding_neardup(
         ids = pdf[id_col].to_numpy()[order]
         m = np.frombuffer(
             b"".join(pdf["vb"].to_numpy()[order].tolist()), dtype=np.float64
-        ).reshape(n, dim)
+        ).reshape(n, -1)
         # exact normalized vectors: cos(i,j) = (v_i/|v_i|)·(v_j/|v_j|);
         # 0-norm rows (all-zero vectors) can never clear a positive
         # threshold — give them an infinite norm so they match nothing,
