@@ -74,13 +74,23 @@ def _minhash_wide(
     token arrays (zero evaluations), so one run pays this exactly once."""
     # fan out a narrow scan before the explode: a small corpus arrives as
     # one parquet split, which would serialize the whole tokenize+md5+
-    # partial-agg pipeline onto a single core. Only fires when the scan
-    # has fewer splits than the cluster has slots — a real 100 TB corpus
-    # has thousands of splits and skips this entirely (guide §2.5 input
-    # skew: "repartition immediately after the read").
+    # partial-agg pipeline onto a single core. Fires only when BOTH hold —
+    # the scan has fewer splits than the cluster has slots (a real 100 TB
+    # corpus has thousands of splits and skips this entirely; guide §2.5
+    # "repartition immediately after the read") AND the planner's size
+    # estimate says the single-split pipeline would outweigh the exchange
+    # (~0.3 s of shuffle+scheduling vs ~8 MB/s-per-core md5 throughput →
+    # only worth it from a few MB of input; below that the extra exchange
+    # measurably REGRESSED the small-corpus bench).
     par = df.sparkSession.sparkContext.defaultParallelism
     slim = df.select(F.col(id_col), F.col(text_col))
-    if slim.rdd.getNumPartitions() < par:
+    try:
+        est_bytes = int(
+            slim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - estimation is best-effort
+        est_bytes = 0
+    if est_bytes >= (4 << 20) and slim.rdd.getNumPartitions() < par:
         slim = slim.repartition(par)
     toks = _distinct_tokens(slim, id_col, text_col).withColumn("th", tok_hash(F.col("tok")))
     aggs = [
@@ -553,11 +563,14 @@ def dedup_clusters(
     canon = df.select(id_col).join(comp, id_col, "left").select(
         id_col, F.coalesce("component", F.col(id_col)).alias("canonical_id")
     )
-    sizes = canon.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return canon.join(sizes, "canonical_id").select(
-        id_col, "canonical_id", "cluster_size"
+    # cluster size as a whole-partition window count: one exchange on
+    # canonical_id instead of the former groupBy + join-back (round 7)
+    return canon.select(
+        id_col,
+        "canonical_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("canonical_id"))
+        .alias("cluster_size"),
     )
 
 

@@ -46,8 +46,11 @@ EXPECTED: dict[str, tuple] = {
     "pit_fused": (4, 0, 0, 0, 1, 0, 2, [EVV, EV]),
     "pit_salted": (12, 0, 0, 0, 2, 0, 2, [EVV, EV, EVV, EV]),
     "image_pit_checksums": (8, 0, 0, 0, 0, 0, 4, []),  # fixture-gen input
-    # star-edge dedup: 6 shuffles (band agg, star join, verify, CC rounds)
-    "dedup_clusters": (12, 0, 6, 0, 0, 0, 0, [["doc_id"], ["doc_id"]]),
+    # star-edge dedup (round-7 rework): candidates+verify are join-free
+    # (carried token arrays + window min(struct)), CC rounds run eagerly
+    # behind localCheckpoints, and cluster_size is a window count on the
+    # single canonical exchange — 3 physical shuffles in the visible plan
+    "dedup_clusters": (6, 0, 2, 0, 0, 0, 0, [["doc_id"]]),
     # single-shuffle per-entity window family — ONE sort exchange each
     "autocorr": (2, 0, 0, 0, 0, 0, 0, [TSV]),
     "lag_lead": (2, 0, 0, 0, 0, 0, 0, [TSV]),
