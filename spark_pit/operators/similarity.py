@@ -358,6 +358,11 @@ def embedding_neardup(
     n_planes, bb, bands_n = bands * band_bits, band_bits, bands
     id_type = df.schema[id_col].dataType.simpleString()
     thr = float(threshold)
+    # carried-bytes dtype = the SOURCE element precision (schema-derived,
+    # so both kernels agree without a per-row marker): float32 input
+    # crosses as 4-byte floats and is exactly re-widened in the kernel
+    elem = df.schema[vec_col].dataType.elementType.simpleString()
+    vdtype = np.float32 if elem == "float" else np.float64
 
     def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # planes derive from (n_planes, dim, seed) only; dim is read off
@@ -367,17 +372,21 @@ def embedding_neardup(
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            raw = np.vstack(pdf[vec_col].to_numpy()).astype(vdtype)
+            m = raw.astype(np.float64)
             if planes is None:
                 planes = np.asarray(_hyperplanes(n_planes, m.shape[1], seed)).T
             bits = (m @ planes > 0).reshape(len(m), bands_n, bb)
             sigs = (bits * pw).sum(axis=2).astype(np.int32)  # N × bands
-            # carry the vector as flat float64 BYTES, not list<float>:
-            # binary columns cross the Arrow boundary as one memcpy per
-            # row, while an object column of float lists converts
-            # per-ELEMENT — measured 4.2 s of the former 6.4 s wall at the
-            # 20k-vector tier was exactly that conversion
-            vb = np.array([m[i].tobytes() for i in range(len(m))], dtype=object)
+            # carry the vector as flat BYTES, not list<float>: binary
+            # columns cross the Arrow boundary as one memcpy per row,
+            # while an object column of float lists converts per-ELEMENT
+            # — measured 4.2 s of the former 6.4 s wall at the 20k-vector
+            # tier was exactly that conversion. Bytes keep the SOURCE
+            # precision (float32 input → float32 bytes, exactly
+            # re-widened in the bucket kernel), halving the exchange for
+            # the common float32 embedding case.
+            vb = np.array([raw[i].tobytes() for i in range(len(raw))], dtype=object)
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy(), bands_n),
@@ -399,8 +408,8 @@ def embedding_neardup(
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         m = np.frombuffer(
-            b"".join(pdf["vb"].to_numpy()[order].tolist()), dtype=np.float64
-        ).reshape(n, -1)
+            b"".join(pdf["vb"].to_numpy()[order].tolist()), dtype=vdtype
+        ).reshape(n, -1).astype(np.float64)
         # exact normalized vectors: cos(i,j) = (v_i/|v_i|)·(v_j/|v_j|);
         # 0-norm rows (all-zero vectors) can never clear a positive
         # threshold — give them an infinite norm so they match nothing,
