@@ -13,7 +13,7 @@ and SQL-oracle-able.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_pit.operators.windows import entity_window
@@ -37,7 +37,6 @@ def autocorr_long(
               (squared property-distance analogue)
     """
     w = entity_window(entity, ts, tiebreak)
-    ent_stats = Window.partitionBy(entity)
     # Cross-engine determinism: the input is quantized ONCE to
     # decimal(18,6) (a binary double is never exactly on a decimal rounding
     # boundary, so Spark and DuckDB quantize identically), every sum is then
@@ -47,20 +46,20 @@ def autocorr_long(
     # enters a data-length summation. Without this, float partial-sum order
     # diverged from the oracle at sf0.1.
     xd = F.col(value_col).cast("decimal(18,6)")
-    base = (
-        df.select(entity, ts, *( [tiebreak] if tiebreak else [] ), value_col)
-        .withColumn("__x", xd)
-        .withColumn("__L", F.count("__x").over(ent_stats))
-        .withColumn("__sx", F.sum("__x").over(ent_stats).cast("double"))
-        .withColumn("__sxx", F.sum(F.col("__x") * F.col("__x")).over(ent_stats).cast("double"))
-    )
+    base = df.select(
+        entity, ts, *([tiebreak] if tiebreak else []), value_col
+    ).withColumn("__x", xd)
     for n in range(1, nlags + 1):
         base = base.withColumn(f"__lead{n}", F.lead("__x", n).over(w))
 
+    # whole-entity stats fold into the SAME groupBy the lag sums use —
+    # the former partitionBy-only Window pass buffered every partition a
+    # second time for three values the aggregate computes for free
+    # (round 7; identical decimal sums, order-independent)
     aggs = [
-        F.first("__L").alias("L"),
-        F.first("__sx").alias("sx_all"),
-        F.first("__sxx").alias("sxx_all"),
+        F.count("__x").alias("L"),
+        F.sum("__x").cast("double").alias("sx_all"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("sxx_all"),
     ]
     x = F.col("__x")
     for n in range(1, nlags + 1):
@@ -119,19 +118,20 @@ def cross_cov_long(
     quantized once to decimal(18,6), all sums exact decimal, centered form
     expanded algebraically so the means never enter a data-length sum."""
     w = entity_window(entity, ts, tiebreak)
-    ent = Window.partitionBy(entity)
     base = (
         df.select(entity, ts, *([tiebreak] if tiebreak else []), col1, col2)
         .withColumn("__a", F.col(col1).cast("decimal(18,6)"))
         .withColumn("__b", F.col(col2).cast("decimal(18,6)"))
-        .withColumn("__L", F.count(F.lit(1)).over(ent))
-        .withColumn("__sa", F.sum("__a").over(ent).cast("double"))
-        .withColumn("__sb", F.sum("__b").over(ent).cast("double"))
     )
     for n in range(1, nlags + 1):
         base = base.withColumn(f"__lead{n}", F.lead("__b", n).over(w))
     a = F.col("__a")
-    aggs = [F.first("__L").alias("L"), F.first("__sa").alias("sa"), F.first("__sb").alias("sb")]
+    # whole-entity stats in the same groupBy (round 7, as autocorr_long)
+    aggs = [
+        F.count(F.lit(1)).alias("L"),
+        F.sum("__a").cast("double").alias("sa"),
+        F.sum("__b").cast("double").alias("sb"),
+    ]
     for n in range(1, nlags + 1):
         y = F.col(f"__lead{n}")
         valid = a.isNotNull() & y.isNotNull()
